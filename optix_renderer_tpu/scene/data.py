@@ -1,0 +1,236 @@
+"""Flat scene representation: tagged-union struct-of-arrays pytrees.
+
+This is the render-time scene. It deliberately adopts the *data model the
+reference itself lowers to for its GPU path* — POD tagged unions per plugin
+kind (`include/nori/optix/cuda_shared/{BsdfData,EmitterData,MediumData,
+GeometryData}.h`) — rather than the C++ class hierarchy. All fields are
+device arrays; together with `RenderConfig` (static, hashable) a scene fully
+describes a render and is a valid jit/grad input.
+
+Geometry is pre-transformed to world space at build time (the reference bakes
+toWorld into vertices at OBJ load, obj.cpp:104-110, and uses identity instance
+transforms in its IAS, OptixState.as.cpp:177-248 — same design).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from optix_renderer_tpu.core.dpdf import DiscretePDF
+
+
+class BsdfType:
+    """Mirrors BsdfData.h:11-75 tag values (+ phase slots for media)."""
+
+    DIFFUSE = 0
+    MIRROR = 1
+    DIELECTRIC = 2
+    MICROFACET = 3
+    DISNEY = 4
+    COUNT = 5
+
+
+class EmitterType:
+    """Mirrors EmitterData.h:11-69."""
+
+    POINT = 0
+    SPOT = 1
+    AREA = 2
+    ENVMAP = 3
+    DIRECTIONAL = 4
+    VOLUME = 5
+    COUNT = 6
+
+
+class MediumType:
+    VACUUM = 0
+    HOMOG = 1
+    HETEROG = 2
+
+
+class PhaseType:
+    ISO = 0
+    HG = 1
+    SCHLICK = 2
+
+
+class TextureType:
+    CONST = 0
+    CHECKER = 1
+    IMAGE = 2
+
+
+class EmitterGeom:
+    NONE = 0
+    MESH = 1
+    SPHERE = 2
+
+
+class Geometry(NamedTuple):
+    """World-space triangle soup + analytic spheres (GeometryData.h analog).
+
+    Triangles are stored as v0/edge1/edge2 for Möller–Trumbore; per-corner
+    shading normals and UVs for barycentric interpolation
+    (mesh.cpp:141-186 `setHitInformation` contract).
+    """
+
+    tri_v0: jnp.ndarray  # [T,3]
+    tri_e1: jnp.ndarray  # [T,3] = v1 - v0
+    tri_e2: jnp.ndarray  # [T,3] = v2 - v0
+    tri_n0: jnp.ndarray  # [T,3] shading normals
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray  # [T,2]
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_shape: jnp.ndarray  # [T] int32 shape id
+    sph_center: jnp.ndarray  # [S,3]
+    sph_radius: jnp.ndarray  # [S]
+    sph_shape: jnp.ndarray  # [S] int32 shape id
+
+
+class Shapes(NamedTuple):
+    """Per-shape attachment table (shape.h:104-237: bsdf/emitter/medium links)."""
+
+    bsdf: jnp.ndarray  # [N] int32 bsdf id
+    emitter: jnp.ndarray  # [N] int32 emitter id or -1
+    interior_medium: jnp.ndarray  # [N] int32 medium id or -1
+    exterior_medium: jnp.ndarray  # [N] int32 medium id or -1
+    normal_tex: jnp.ndarray  # [N] int32 texture id or -1 (tangent-space normal map)
+
+
+class Bsdfs(NamedTuple):
+    """Tagged-union BSDF table (BsdfData.h:11-75).
+
+    Color slots are texture ids (constants become constant textures, the same
+    normalization the reference performs in Diffuse::cloneAndInit).
+    disney: [B,10] = baseColor handled via albedo_tex; params are
+    (metallic, subsurface, specular, roughness, specularTint, anisotropic,
+     sheen, sheenTint, clearcoat, clearcoatGloss) — disney.cpp:32-41.
+    """
+
+    type: jnp.ndarray  # [B] int32
+    albedo_tex: jnp.ndarray  # [B] int32 texture id (diffuse albedo / disney baseColor)
+    int_ior: jnp.ndarray  # [B]
+    ext_ior: jnp.ndarray  # [B]
+    alpha: jnp.ndarray  # [B] microfacet roughness
+    kd: jnp.ndarray  # [B,3] microfacet diffuse base color
+    ks: jnp.ndarray  # [B] = 1 - max(kd) (microfacet.cpp:55)
+    disney: jnp.ndarray  # [B,10]
+
+
+class Textures(NamedTuple):
+    """Tagged-union texture table (texture.h / consttexture / checkerboard / PNG).
+
+    Image texels live in one padded stack `image_data [I,Hmax,Wmax,3]` with
+    per-image true sizes — lookups are gathers, wrap modes applied in-kernel.
+    """
+
+    type: jnp.ndarray  # [X] int32
+    value: jnp.ndarray  # [X,3] const value / checker color1
+    value2: jnp.ndarray  # [X,3] checker color2
+    scale_uv: jnp.ndarray  # [X,2] checkerboard scale (checkerboard.cpp)
+    shift_uv: jnp.ndarray  # [X,2] checkerboard delta/shift
+    image_id: jnp.ndarray  # [X] int32 index into image_data or -1
+    image_data: jnp.ndarray  # [I,Hmax,Wmax,3] float32 linear RGB
+    image_hw: jnp.ndarray  # [I,2] int32 true (h,w)
+
+
+class Emitters(NamedTuple):
+    """Tagged-union emitter table (EmitterData.h:11-69) + sampling tables.
+
+    Mesh-area emitters carry a padded per-triangle area CDF so area sampling
+    (arealight.cpp:75-127 via mesh.cpp:15-46 DiscretePDF) is a searchsorted.
+    """
+
+    type: jnp.ndarray  # [E] int32
+    radiance: jnp.ndarray  # [E,3] (area/volume/envmap-scale)
+    position: jnp.ndarray  # [E,3] (point/spot)
+    power: jnp.ndarray  # [E,3] (point/spot)
+    direction: jnp.ndarray  # [E,3] (spot/directional)
+    cos_falloff_start: jnp.ndarray  # [E] (spot, spotlight.cpp:53-70)
+    cos_falloff_end: jnp.ndarray  # [E]
+    angular_radius: jnp.ndarray  # [E] directional (directionalLight.cpp:90-136)
+    shape: jnp.ndarray  # [E] attached shape id or -1
+    geom_kind: jnp.ndarray  # [E] EmitterGeom
+    tri_offset: jnp.ndarray  # [E] first global triangle of the attached mesh
+    tri_count: jnp.ndarray  # [E]
+    tri_cdf: jnp.ndarray  # [E, MAXT] normalized area CDF (padded with 1s)
+    area: jnp.ndarray  # [E] total surface area (or sphere area)
+    sphere_id: jnp.ndarray  # [E] global sphere index for sphere-shaped emitters
+    light_prob: jnp.ndarray  # [E] emitter-pick weight (emitter.h:151)
+    envmap_tex: jnp.ndarray  # [E] texture id for envmap emitters or -1
+
+
+class Media(NamedTuple):
+    """Homogeneous media + phase functions (medium.h:26-90, homogmedium.cpp).
+
+    Heterogeneous voxel grids are added by the volume subsystem (ops/medium).
+    """
+
+    type: jnp.ndarray  # [M] int32 MediumType
+    sigma_a: jnp.ndarray  # [M,3]
+    sigma_s: jnp.ndarray  # [M,3]
+    phase_type: jnp.ndarray  # [M] int32 PhaseType
+    phase_g: jnp.ndarray  # [M] HG g / Schlick k
+    emission: jnp.ndarray  # [M,3] volumetric emission radiance
+    emitter: jnp.ndarray  # [M] emitter id or -1 (volume emitter attachment)
+
+
+class Camera(NamedTuple):
+    """Perspective camera with thin-lens DoF (perspective.cpp:68-130)."""
+
+    sample_to_camera: jnp.ndarray  # [4,4]
+    to_world: jnp.ndarray  # [4,4]
+    inv_output_size: jnp.ndarray  # [2]
+    near_clip: jnp.ndarray  # []
+    far_clip: jnp.ndarray  # []
+    lens_radius: jnp.ndarray  # []
+    focal_distance: jnp.ndarray  # []
+
+
+class SceneData(NamedTuple):
+    """Everything the render kernels read. A single pytree — jit/grad input."""
+
+    geometry: Geometry
+    shapes: Shapes
+    bsdfs: Bsdfs
+    textures: Textures
+    emitters: Emitters
+    media: Media
+    camera: Camera
+    emitter_pick: DiscretePDF  # scene.cpp:179-184 lightProb-weighted DPDF
+    envmap_emitter: jnp.ndarray  # [] int32 emitter id or -1
+    envmap_pick: DiscretePDF  # luminance-importance DPDF over envmap pixels
+    ambient_medium: jnp.ndarray  # [] int32 medium id or -1
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters — hashable, passed as a jit static arg.
+
+    The analog of the reference's XML-root scene attributes + OptixRenderer
+    config (sampleCount etc.); changing any of these retraces, which is the
+    TPU analog of the reference's NVRTC bound-value specialization.
+    """
+
+    width: int = 1280
+    height: int = 720
+    sample_count: int = 8
+    integrator: str = "normals"
+    max_depth: int = 16
+    rr_min_depth: int = 0  # reference path_mis applies RR from the first bounce
+    sampler: str = "independent"
+    seed: int = 0
+    # reconstruction filter (rfilter.cpp): gaussian/mitchell/tent/box
+    rfilter: str = "gaussian"
+    # adaptive sampler knobs (adaptive.cpp:18-22)
+    adaptive: bool = False
+    adaptive_uniform_rounds: int = 4
+    # counts (static shapes of the tables)
+    n_tris: int = 0
+    n_spheres: int = 0
+    n_emitters: int = 0

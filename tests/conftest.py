@@ -1,0 +1,14 @@
+"""Test configuration: force a virtual 8-device CPU platform before JAX loads.
+
+Mirrors the reference's approach of using the CPU path as the reference
+implementation for the accelerator path (SURVEY.md §4): tests run on CPU with
+8 virtual devices so sharding (shard_map/pjit) is exercised without TPU
+hardware; numerical kernels run identically on TPU.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
