@@ -181,11 +181,15 @@ class Media(NamedTuple):
 
 
 class Camera(NamedTuple):
-    """Perspective camera with thin-lens DoF (perspective.cpp:68-130)."""
+    """Perspective camera with thin-lens DoF (perspective.cpp:68-130).
 
-    sample_to_camera: jnp.ndarray  # [4,4]
+    Only raw parameters are stored; the sample→camera projection is derived
+    in-jit from these plus the static RenderConfig width/height, so resolution
+    changes don't invalidate the scene and fov/lens are differentiable.
+    """
+
     to_world: jnp.ndarray  # [4,4]
-    inv_output_size: jnp.ndarray  # [2]
+    fov: jnp.ndarray  # [] horizontal fov in degrees
     near_clip: jnp.ndarray  # []
     far_clip: jnp.ndarray  # []
     lens_radius: jnp.ndarray  # []
@@ -234,3 +238,12 @@ class RenderConfig:
     n_tris: int = 0
     n_spheres: int = 0
     n_emitters: int = 0
+    # integrator-specific scalar properties as a frozen (key, value) tuple
+    # (e.g. av's "length", photonmapper's "photonCount")
+    iprops: tuple = ()
+
+    def iprop(self, key, default=None):
+        for k, v in self.iprops:
+            if k == key:
+                return v
+        return default

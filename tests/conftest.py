@@ -12,3 +12,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin ignores the env var; force the CPU platform explicitly
+# (tests must be hermetic + exercise the virtual 8-device mesh).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
