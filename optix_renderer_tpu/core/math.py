@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 # Reference `include/nori/common.h:56`
@@ -43,6 +44,26 @@ def normalize(a: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.cross(a, b)
+
+
+def safe_sqrt(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """sqrt clamped away from 0 so gradients stay finite at the boundary.
+
+    Needed because `grad(sqrt)` at 0 is inf and a `jnp.where` on the primal
+    does NOT stop the inf flowing through the cotangent of the dead branch.
+    """
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
+def safe_norm(a: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    """‖a‖ with finite gradient at a=0 (jnp.linalg.norm NaNs there)."""
+    return jnp.sqrt(jnp.sum(a * a, axis=-1) + eps)
+
+
+def safe_normalize(a: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    """a/‖a‖ with finite gradient at a=0 (returns ~0 there)."""
+    n2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    return a * jax.lax.rsqrt(n2 + eps)
 
 
 def luminance(c: jnp.ndarray) -> jnp.ndarray:
@@ -181,7 +202,7 @@ def fresnel_dielectric(cos_theta_i: jnp.ndarray, ext_ior, int_ior) -> jnp.ndarra
     eta = eta_i / eta_t
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - ci * ci)
     tir = sin2_t > 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    ct = safe_sqrt(1.0 - sin2_t)
 
     rs = (eta_i * ci - eta_t * ct) / jnp.maximum(eta_i * ci + eta_t * ct, 1e-20)
     rp = (eta_t * ci - eta_i * ct) / jnp.maximum(eta_t * ci + eta_i * ct, 1e-20)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from optix_renderer_tpu.core.math import EPSILON, INV_PI, PI
+from optix_renderer_tpu.core.math import EPSILON, INV_PI, PI, safe_sqrt
 
 
 def square_to_uniform_square(s):
@@ -40,7 +40,7 @@ def square_to_uniform_disk_pdf(p):
 def square_to_uniform_sphere(s):
     """warp.cpp:74-82."""
     z = 2.0 * s[..., 0] - 1.0
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     sigma = 2.0 * PI * s[..., 1]
     return jnp.stack([r * jnp.cos(sigma), r * jnp.sin(sigma), z], axis=-1)
 
@@ -53,7 +53,7 @@ def square_to_uniform_sphere_pdf(v):
 def square_to_uniform_sphere_cap(s, cos_theta_max):
     """Uniform on the cap z >= cosThetaMax (warp.cpp:58-66)."""
     z = s[..., 0] * (1.0 - cos_theta_max) + cos_theta_max
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     theta = s[..., 1] * 2.0 * PI
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), z], axis=-1)
 
@@ -91,7 +91,7 @@ def square_to_uniform_hemisphere_pdf(v):
 def square_to_cosine_hemisphere(s):
     """Disk projection (Malley's method, warp.cpp:111-122)."""
     d = square_to_uniform_disk(s)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.sum(d * d, axis=-1)))
+    z = safe_sqrt(1.0 - jnp.sum(d * d, axis=-1))
     return jnp.concatenate([d, z[..., None]], axis=-1)
 
 
@@ -106,7 +106,7 @@ def square_to_beckmann(s, alpha):
     tan2_theta = -alpha * alpha * log_sample
     phi = s[..., 1] * 2.0 * PI
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2_theta)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
     return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
 
 
@@ -139,7 +139,7 @@ def square_to_henyey_greenstein(s, g):
     cos_iso = 1.0 - 2.0 * s[..., 0]
     cos_theta = jnp.where(jnp.abs(g) < EPSILON, cos_iso, cos_aniso)
     phi = 2.0 * PI * s[..., 1]
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     return jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
     )
@@ -171,7 +171,7 @@ def square_to_schlick(s, k):
     cos_iso = 1.0 - 2.0 * s[..., 0]
     cos_theta = jnp.where(jnp.abs(k) < EPSILON, cos_iso, cos_aniso)
     phi = 2.0 * PI * s[..., 1]
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     return jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
     )

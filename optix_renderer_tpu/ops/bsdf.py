@@ -18,7 +18,14 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from optix_renderer_tpu.core import warp
-from optix_renderer_tpu.core.math import INV_PI, PI, fresnel_dielectric, reflect_local
+from optix_renderer_tpu.core.math import (
+    INV_PI,
+    PI,
+    fresnel_dielectric,
+    reflect_local,
+    safe_normalize,
+    safe_sqrt,
+)
 from optix_renderer_tpu.ops.texture import eval_texture
 from optix_renderer_tpu.scene.data import Bsdfs, BsdfType, Textures
 
@@ -41,17 +48,24 @@ def _cos(v):
 
 
 def _beckmann_d(m, alpha):
-    """Beckmann NDF (microfacet.cpp:60-67)."""
-    ct = jnp.maximum(_cos(m), 1e-8)
-    ct2 = ct * ct
-    tan2 = jnp.maximum(0.0, 1.0 - ct2) / ct2
-    return jnp.exp(-tan2 / (alpha * alpha)) / (PI * alpha * alpha * ct2 * ct2)
+    """Beckmann NDF (microfacet.cpp:60-67).
+
+    Written as exp(·)·(1/ct²)² / (πα²) instead of exp(·)/(πα²ct⁴): the latter's
+    VJP squares the denominator, which underflows float32 for grazing ct and
+    turns the gradient into 0/0 = NaN.
+    """
+    ct = jnp.maximum(_cos(m), 1e-4)
+    inv_ct2 = 1.0 / (ct * ct)
+    tan2 = jnp.maximum(0.0, 1.0 - ct * ct) * inv_ct2
+    return (
+        jnp.exp(-tan2 / (alpha * alpha)) * inv_ct2 * inv_ct2 / (PI * alpha * alpha)
+    )
 
 
 def _smith_g1(v, m, alpha):
     """Smith shadowing-masking G1, rational approx (microfacet.cpp:70-90)."""
     ct = _cos(v)
-    tan_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct)) / jnp.where(
+    tan_theta = safe_sqrt(1.0 - ct * ct) / jnp.where(
         jnp.abs(ct) > 1e-8, ct, 1e-8
     )
     a = 1.0 / jnp.maximum(alpha * jnp.abs(tan_theta), 1e-8)
@@ -65,8 +79,7 @@ def _smith_g1(v, m, alpha):
 
 def _microfacet_eval(kd, ks, alpha, ext_ior, int_ior, wi, wo):
     """kd/π + ks·D·F·G1G1 / (4 cosθi cosθo) (microfacet.cpp:93-106)."""
-    wh = wi + wo
-    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True), 1e-20)
+    wh = safe_normalize(wi + wo)
     d = _beckmann_d(wh, alpha)
     f = fresnel_dielectric(jnp.sum(wh * wi, axis=-1), ext_ior, int_ior)
     g = _smith_g1(wi, wh, alpha) * _smith_g1(wo, wh, alpha)
@@ -78,8 +91,7 @@ def _microfacet_eval(kd, ks, alpha, ext_ior, int_ior, wi, wo):
 
 def _microfacet_pdf(ks, alpha, wi, wo):
     """ks·D(wh)·cosθh/(4 wo·wh) + (1-ks)·cosθo/π (microfacet.cpp:109-120)."""
-    wh = wi + wo
-    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True), 1e-20)
+    wh = safe_normalize(wi + wo)
     d = _beckmann_d(wh, alpha)
     dot_wo_wh = jnp.sum(wo * wh, axis=-1)
     part1 = ks * d * _cos(wh) / jnp.where(jnp.abs(4.0 * dot_wo_wh) > 1e-12, 4.0 * dot_wo_wh, 1e-12)
@@ -196,8 +208,8 @@ def sample_bsdf(
     nz = jnp.where(entering, 1.0, -1.0)
     wi_dot_n = wi[..., 2] * nz
     # wt = -η (wi - (wi·n)n) - sqrt(1-η²(1-(wi·n)²)) n
-    sqrt_term = jnp.sqrt(
-        jnp.maximum(0.0, 1.0 - eta_ratio * eta_ratio * (1.0 - wi_dot_n * wi_dot_n))
+    sqrt_term = safe_sqrt(
+        1.0 - eta_ratio * eta_ratio * (1.0 - wi_dot_n * wi_dot_n)
     )
     tang = wi - jnp.stack(
         [jnp.zeros_like(nz), jnp.zeros_like(nz), wi_dot_n * nz], axis=-1

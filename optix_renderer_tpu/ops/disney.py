@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from optix_renderer_tpu.core import warp
-from optix_renderer_tpu.core.math import EPSILON, INV_PI, PI, luminance
+from optix_renderer_tpu.core.math import EPSILON, INV_PI, PI, luminance, safe_normalize
 
 
 def _mix(a, b, t):
@@ -72,13 +72,12 @@ def disney_eval(params: jnp.ndarray, base_color: jnp.ndarray, wi, wo) -> jnp.nda
     ndotv = V[..., 2]
     valid = (ndotl >= EPSILON) & (ndotv >= EPSILON)
 
-    H = L + V
-    H = H / jnp.maximum(jnp.linalg.norm(H, axis=-1, keepdims=True), 1e-20)
+    H = safe_normalize(L + V)
     ndoth = H[..., 2]
     ldoth = jnp.sum(L * H, axis=-1)
 
     # mon2lin: pow(c, 2.2) (disney.cpp:291-296)
-    cdlin = jnp.power(jnp.maximum(base_color, 0.0), 2.2)
+    cdlin = jnp.power(jnp.maximum(base_color, 1e-6), 2.2)
     cdlum = 0.3 * cdlin[..., 0] + 0.6 * cdlin[..., 1] + 0.1 * cdlin[..., 2]
     ctint = jnp.where(
         (cdlum > 0.0)[..., None], cdlin / jnp.maximum(cdlum, 1e-12)[..., None], 1.0

@@ -209,7 +209,10 @@ def make_interaction(geom: Geometry, ray: Ray, hit: Hit) -> Interaction:
     is_sph = hit.prim_kind == PRIM_SPHERE
     valid = is_tri | is_sph
 
-    p = ray.o + ray.d * hit.t[..., None]
+    # missed lanes carry t = +huge; clamp so downstream math on p stays finite
+    # (inf here poisons gradients through jnp.where branches)
+    t_safe = jnp.where(valid, hit.t, 1.0)
+    p = ray.o + ray.d * t_safe[..., None]
 
     # --- triangle path (gathers are cheap relative to the sweep)
     if geom.tri_v0.shape[0] > 0:

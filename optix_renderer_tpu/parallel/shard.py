@@ -1,0 +1,197 @@
+"""Multi-device execution: shard_map over a (tile × sample) device mesh.
+
+The TPU-native replacement for the reference's parallelism stack
+(SURVEY.md §2.8): TBB tile parallel_for (render.cpp:288-347) → lane sharding
+over the "tile" mesh axis; the CPU/GPU cooperative sample split
+(render.cpp:281,501) → the "sample" mesh axis; mutex-guarded ImageBlock merges
+(block.cpp:125) → `psum` of partial film planes over ICI. Scene tables are
+replicated (they are read-only per round); the film reduction is the only
+collective.
+
+Determinism under any mesh shape: each lane's sampler is seeded by
+(pixel_id, global_sample_idx) only (render/sampler.py), so device count and
+layout never change the image — the property the reference gets from
+per-block seeding (independent.cpp:21-60).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from optix_renderer_tpu.integrators import get_integrator
+from optix_renderer_tpu.ops import camera as camera_ops
+from optix_renderer_tpu.render import film
+from optix_renderer_tpu.render import sampler as smp
+from optix_renderer_tpu.scene.data import RenderConfig, SceneData
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """Build a (tile, sample) mesh over the available devices.
+
+    Factors the device count into the most square (tile, sample) grid with
+    tile ≥ sample — tile parallelism is the dominant axis, like the
+    reference's tile loop dominating its sample loop.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    n = len(devices)
+    sample = 1
+    for cand in range(int(np.sqrt(n)), 0, -1):
+        if n % cand == 0:
+            sample = cand
+            break
+    tile = n // sample
+    dev_grid = np.asarray(devices).reshape(tile, sample)
+    return Mesh(dev_grid, axis_names=("tile", "sample"))
+
+
+def _lane_render(scene: SceneData, config: RenderConfig, pixel_ids, sample_idx):
+    """Per-device shard body: render lanes, splat into a full-size film."""
+    px = (pixel_ids % config.width).astype(jnp.float32)
+    py = (pixel_ids // config.width).astype(jnp.float32)
+    s = smp.make_sampler(
+        pixel_ids.astype(jnp.uint32), sample_idx.astype(jnp.uint32), seed=config.seed
+    )
+    s, jitter = smp.next_2d(s)
+    s, aperture = smp.next_2d(s)
+    pos = jnp.stack([px, py], axis=-1) + jitter
+    ray, _ = camera_ops.sample_ray(scene.camera, config.width, config.height, pos, aperture)
+    L, albedo, normal, s = get_integrator(config.integrator)(scene, config, ray, s)
+    L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+    layers = jnp.stack([L, albedo, normal])
+    return film.splat(config.width, config.height, config.rfilter, pos, layers)
+
+
+def sharded_render_round(
+    scene: SceneData,
+    config: RenderConfig,
+    mesh: Mesh,
+    pixel_ids: jnp.ndarray,  # [N] — sharded over "tile"
+    sample_base: jnp.ndarray,  # [] int32 — first sample round of this launch
+):
+    """One launch = (tile × sample) devices each render their lane/sample slice;
+    partial films psum over both axes → replicated [3,H,W,4]."""
+
+    def body(scene_rep, pix, sbase):
+        si = jax.lax.axis_index("sample")
+        img = _lane_render(scene_rep, config, pix, sbase + si.astype(jnp.int32))
+        img = jax.lax.psum(img, ("tile", "sample"))
+        return img
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P("tile"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(scene, pixel_ids, sample_base)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def _sharded_round_jit(scene, config, mesh, pixel_ids, sample_base):
+    return sharded_render_round(scene, config, mesh, pixel_ids, sample_base)
+
+
+def render_sharded(
+    scene: SceneData,
+    config: RenderConfig,
+    mesh: Mesh | None = None,
+    sample_count: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Full multi-device render (the distributed renderThreadMain analog)."""
+    if mesh is None:
+        mesh = make_mesh()
+    spp = sample_count if sample_count is not None else config.sample_count
+    n_sample_dev = mesh.devices.shape[1]
+    n_rounds = max(1, (spp + n_sample_dev - 1) // n_sample_dev)
+
+    n_pix = config.width * config.height
+    n_tile = mesh.devices.shape[0]
+    pad = (-n_pix) % n_tile
+    ids = np.concatenate(
+        [np.arange(n_pix, dtype=np.int32), np.full(pad, -(1 << 20), np.int32)]
+    )
+    ids = jnp.asarray(ids)
+
+    acc = jnp.zeros((3, config.height, config.width, 4), jnp.float32)
+    for r in range(n_rounds):
+        acc = acc + _sharded_round_jit(
+            scene, config, mesh, ids, jnp.int32(r * n_sample_dev)
+        )
+    layers = np.asarray(film.to_bitmap(acc))
+    return {
+        "composite": layers[0],
+        "albedo": layers[1],
+        "normal": layers[2],
+        "weights": np.asarray(acc[0, ..., 3]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Differentiable training step (the "train()" of this framework):
+# gradient of an image loss w.r.t. material/emitter parameters, sharded.
+# ---------------------------------------------------------------------------
+
+
+def trainable_params(scene: SceneData):
+    """The differentiable parameter pytree: material colors, emitter radiance,
+    texture values — the parameters the reference edits live in its GUI and
+    that BASELINE.json requires pixel gradients for."""
+    return {
+        "tex_value": scene.textures.value,
+        "bsdf_kd": scene.bsdfs.kd,
+        "bsdf_alpha": scene.bsdfs.alpha,
+        "em_radiance": scene.emitters.radiance,
+    }
+
+
+def apply_params(scene: SceneData, params) -> SceneData:
+    return scene._replace(
+        textures=scene.textures._replace(value=params["tex_value"]),
+        bsdfs=scene.bsdfs._replace(kd=params["bsdf_kd"], alpha=params["bsdf_alpha"]),
+        emitters=scene.emitters._replace(radiance=params["em_radiance"]),
+    )
+
+
+def sharded_train_step(
+    scene: SceneData,
+    config: RenderConfig,
+    mesh: Mesh,
+    target: jnp.ndarray,  # [H,W,3] reference image
+    pixel_ids: jnp.ndarray,  # [N] sharded over "tile"
+    sample_base: jnp.ndarray,
+):
+    """loss + grads w.r.t. trainable_params, with the film psum'd over the mesh
+    and parameter gradients implicitly all-reduced by the backward psum —
+    the renderer analog of a DP+grad-allreduce training step."""
+
+    def loss_fn(params, scene_rep, pix, sbase, tgt):
+        sc = apply_params(scene_rep, params)
+
+        def body(sc_in, pix_in, sbase_in):
+            si = jax.lax.axis_index("sample")
+            img = _lane_render(sc_in, config, pix_in, sbase_in + si.astype(jnp.int32))
+            return jax.lax.psum(img, ("tile", "sample"))
+
+        img = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P("tile"), P()),
+            out_specs=P(),
+            check_rep=False,
+        )(sc, pix, sbase)
+        rendered = film.to_bitmap(img)[0]
+        return jnp.mean((rendered - tgt) ** 2)
+
+    params = trainable_params(scene)
+    loss, grads = jax.value_and_grad(loss_fn)(params, scene, pixel_ids, sample_base, target)
+    return loss, grads
