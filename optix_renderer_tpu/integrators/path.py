@@ -101,13 +101,23 @@ def li_path_mis(scene: SceneData, config: RenderConfig, ray: Ray, sampler):
         r = Ray(o=ro, d=rd, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, jnp.inf))
         ctx = common.trace(scene, r)
 
-        # miss → envmap WITHOUT MIS weight (path_mis.cpp:36-43), terminate
+        # miss → envmap, MIS-weighted against the EMS envmap pdf. Deviation
+        # from the reference (path_mis.cpp:36-43 adds it unweighted while the
+        # envmap is also EMS-sampleable — double counting); the balance
+        # heuristic here keeps the furnace test exact.
+        first = bounce == 0
+        pdf_env_dir = emitter_ops.pdf_envmap_direction(scene, rd) / float(n_lights)
+        denom_env = pdf_mats_prev + pdf_env_dir
+        w_env = jnp.where(
+            first | prev_discrete,
+            1.0,
+            jnp.where(denom_env > EPSILON, pdf_mats_prev / jnp.maximum(denom_env, 1e-20), 1.0),
+        )
         env = common.miss_envmap(scene, rd, active & (~ctx.its.valid))
-        L = L + t * env
+        L = L + w_env[..., None] * t * env
         active = active & ctx.its.valid
 
         a0, n0 = common.first_hit_aovs(scene, ctx)
-        first = bounce == 0
         albedo = jnp.where(first, a0, albedo)
         normal = jnp.where(first, n0, normal)
 

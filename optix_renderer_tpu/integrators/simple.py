@@ -147,16 +147,24 @@ def li_direct_mis(scene, config, ray, sampler):
     ray2 = Ray(o=ctx.its.p, d=d2, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, jnp.inf))
     ctx2 = common.trace(scene, ray2)
     hit_is_em = ctx2.its.valid & (ctx2.emitter_id >= 0) & nonzero
+    env_miss = nonzero & (~ctx2.its.valid)
     mats_contrib = jnp.where(
         hit_is_em[..., None],
         bs.weight * common.hit_emitter_radiance(scene, ctx2, ray2.d),
-        common.miss_envmap(scene, ray2.d, nonzero & (~ctx2.its.valid)) * bs.weight,
+        common.miss_envmap(scene, ray2.d, env_miss) * bs.weight,
     )
-    pdf_mat = jnp.where(hit_is_em, bs.pdf, 0.0)
+    # MIS pdfs: env misses weighted like emitter hits against the envmap pdf
+    # (deviation from direct_mis.cpp which drops the MATS env term — see
+    # ops/emitter.pdf_envmap_direction)
+    pdf_mat = jnp.where(hit_is_em | env_miss, bs.pdf, 0.0)
     pdf_ems_at_hit = emitter_ops.pdf_hit_emitter(
         scene, ctx2.emitter_id, ctx.its.p, ctx2.its.p, ctx2.frame.n, normalize(ray2.d)
     ) / float(n_lights)
-    pdf_ems_at_hit = jnp.where(hit_is_em, pdf_ems_at_hit, 0.0)
+    pdf_env = emitter_ops.pdf_envmap_direction(scene, ray2.d) / float(n_lights)
+    pdf_ems_at_hit = jnp.where(
+        hit_is_em, pdf_ems_at_hit, jnp.where(env_miss, pdf_env, 0.0)
+    )
+    hit_is_em = hit_is_em | env_miss
     w_mat = jnp.where(
         pdf_mat + pdf_ems_at_hit > EPSILON,
         pdf_mat / jnp.maximum(pdf_mat + pdf_ems_at_hit, 1e-20),

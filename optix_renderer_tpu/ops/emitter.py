@@ -247,6 +247,20 @@ def pdf_hit_emitter(
     return jnp.where((etype == EmitterType.AREA) & (em_id >= 0), pdf_area, 0.0)
 
 
+def pdf_envmap_direction(scene: SceneData, d: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf with which `sample_emitter` draws direction `d` from the
+    scene's envmap emitter (0 if none). Constant envmap → uniform sphere;
+    image-based envmaps override this via the luminance DPDF (ops/envmap).
+
+    Used to MIS-weight the miss-shader env contribution — the reference adds
+    it unweighted (path_mis.cpp:36-43) while ALSO listing the envmap as a
+    sampleable emitter (scene.cpp:218-222), double-counting env light; we
+    apply the balance heuristic instead.
+    """
+    has = scene.envmap_emitter >= 0
+    return jnp.where(has, INV_FOURPI, 0.0) * jnp.ones(d.shape[0])
+
+
 def eval_envmap(scene: SceneData, d: jnp.ndarray) -> jnp.ndarray:
     """Environment radiance for escaped rays (miss shader, shading.cpp:39-60).
 

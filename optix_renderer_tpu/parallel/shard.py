@@ -21,8 +21,8 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
 
 from optix_renderer_tpu.integrators import get_integrator
 from optix_renderer_tpu.ops import camera as camera_ops
