@@ -91,7 +91,7 @@ def sharded_render_round(
         mesh=mesh,
         in_specs=(P(), P("tile"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(scene, pixel_ids, sample_base)
 
@@ -187,7 +187,7 @@ def sharded_train_step(
             mesh=mesh,
             in_specs=(P(), P("tile"), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(sc, pix, sbase)
         rendered = film.to_bitmap(img)[0]
         return jnp.mean((rendered - tgt) ** 2)
