@@ -346,8 +346,13 @@ class _Builder:
             raise SceneBuildError(f"unsupported shape type '{node.type}'")
 
         # children: bsdf, emitter, medium(s), normal-map texture (shape.h:104-140)
+        # a shape with a medium and no bsdf is a pass-through boundary —
+        # NO default diffuse (shape.cpp cloneAndInit: default only without medium)
         bsdf_node = node.child("bsdf")
-        row["bsdf"] = self.build_bsdf(bsdf_node)
+        if bsdf_node is not None or not node.children_of("medium"):
+            row["bsdf"] = self.build_bsdf(bsdf_node)
+        else:
+            row["bsdf"] = -1
         em_node = node.child("emitter")
         if em_node is not None:
             row["emitter"] = self.build_emitter(em_node, shape_id=shape_id)

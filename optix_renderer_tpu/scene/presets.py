@@ -103,6 +103,48 @@ def make_cornell_box(
     return build_scene(root)
 
 
+def make_absorbing_sphere(
+    sigma_a=0.5,
+    radius=1.0,
+    width=64,
+    height=64,
+    spp=8,
+    integrator="path_vol_mis",
+):
+    """Pass-through sphere filled with a purely absorbing homogeneous medium in
+    a constant L=1 environment. The analytic center-pixel value is
+    exp(−σa·2r) — the Beer–Lambert validation for free-path/transmittance
+    (contract of homogmedium.cpp:61-73)."""
+    root = SceneNode(tag="scene", type="scene")
+    root.children.append(SceneNode(tag="integrator", type=integrator))
+    cam = SceneNode(tag="camera", type="perspective")
+    cam.props.set("width", width)
+    cam.props.set("height", height)
+    cam.props.set("fov", 30.0)
+    from optix_renderer_tpu.core import transform as tf
+
+    cam.props.set("toWorld", tf.lookat([0, 0, 6], [0, 0, 0], [0, 1, 0]))
+    root.children.append(cam)
+    samp = SceneNode(tag="sampler", type="independent")
+    samp.props.set("sampleCount", spp)
+    root.children.append(samp)
+
+    sh = SceneNode(tag="shape", type="sphere")
+    sh.props.set("center", np.zeros(3, np.float32))
+    sh.props.set("radius", float(radius))
+    med = SceneNode(tag="medium", type="homog")
+    med.props.set("sigma_a", np.full(3, sigma_a, np.float32))
+    med.props.set("sigma_s", np.zeros(3, np.float32))
+    sh.children.append(med)
+    root.children.append(sh)
+
+    em = SceneNode(tag="emitter", type="envmap")
+    em.props.set("radiance", np.ones(3, np.float32))
+    root.children.append(em)
+
+    return build_scene(root)
+
+
 def make_furnace(albedo=0.75, radiance=1.0, width=128, height=128, spp=16,
                  integrator="path_mis"):
     """Furnace test: diffuse sphere inside a constant environment.
