@@ -1,0 +1,3 @@
+from optix_renderer_tpu.cli import main
+
+raise SystemExit(main())

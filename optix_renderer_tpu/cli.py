@@ -1,0 +1,159 @@
+"""Command-line interface: render scenes, tonemap EXRs, run warp tests.
+
+Counterpart of the reference executables (CMakeLists.txt:27,147,175):
+- `render` = the headless `nori scene.xml` path (src/utils/main.cpp:81-104):
+  renders, writes `<scene>.exr` (+ `_variance.exr` for adaptive samplers,
+  render.cpp:390-415) and a tonemapped PNG;
+- `tonemap` = the `tonemapper` EXR→PNG batch converter (hdrToLdr.cpp:22-40);
+- `warptest` = the χ² warp validation suite, headless (warptest.cpp:439-561).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def cmd_render(args) -> int:
+    from optix_renderer_tpu.scene.build import load_scene
+    from optix_renderer_tpu.utils import imageio as iio
+
+    scene, config, _ = load_scene(args.scene)
+    overrides = {}
+    if args.spp:
+        overrides["sample_count"] = args.spp
+    if args.size:
+        w, h = (int(x) for x in args.size.lower().split("x"))
+        overrides["width"], overrides["height"] = w, h
+    if args.integrator:
+        overrides["integrator"] = args.integrator
+    if args.depth:
+        overrides["max_depth"] = args.depth
+    if overrides:
+        config = dataclasses.replace(config, **overrides)
+
+    out_base = Path(args.output) if args.output else Path(args.scene).with_suffix("")
+    print(
+        f"Rendering {args.scene}: {config.width}x{config.height} @ "
+        f"{config.sample_count}spp, integrator={config.integrator}"
+        + (" [adaptive]" if config.adaptive else "")
+    )
+    t0 = time.time()
+    if args.sharded:
+        from optix_renderer_tpu.parallel.shard import render_sharded
+
+        out = render_sharded(scene, config)
+    elif config.adaptive and not args.no_adaptive:
+        from optix_renderer_tpu.render.adaptive import render_adaptive
+
+        out = render_adaptive(scene, config, verbose=args.verbose)
+    else:
+        from optix_renderer_tpu.render.render import render
+
+        out = render(scene, config, verbose=args.verbose)
+    dt = time.time() - t0
+
+    exr_path = out_base.with_suffix(".exr")
+    iio.write_exr(exr_path, out["composite"])
+    iio.write_png(out_base.with_suffix(".png"), out["composite"])
+    if "variance" in out:
+        var = out["variance"]
+        iio.write_exr(
+            str(out_base) + "_variance.exr",
+            var[..., None].repeat(3, axis=-1),
+        )
+    if args.denoise:
+        from optix_renderer_tpu.denoise.bilateral import denoise_bilateral
+        from optix_renderer_tpu.render.variance import variance_from_image
+        import numpy as np
+        import jax.numpy as jnp
+
+        film = np.concatenate(
+            [out["composite"], out["weights"][..., None]], axis=-1
+        )
+        den = denoise_bilateral(
+            jnp.asarray(out["composite"]),
+            jnp.asarray(variance_from_image(jnp.asarray(film))),
+        )
+        iio.write_exr(str(out_base) + "_denoised.exr", np.asarray(den))
+        iio.write_png(str(out_base) + "_denoised.png", np.asarray(den))
+
+    n_paths = config.width * config.height * config.sample_count
+    print(
+        f"Done in {dt:.1f}s ({n_paths / dt / 1e6:.2f} Mpaths/s) → {exr_path}"
+    )
+    return 0
+
+
+def cmd_tonemap(args) -> int:
+    import numpy as np
+
+    from optix_renderer_tpu.utils import imageio as iio
+
+    for f in args.files:
+        img = iio.read_exr(f)[..., :3] * args.exposure
+        out = Path(f).with_suffix(".png")
+        iio.write_png(out, img)
+        print(f"{f} → {out}")
+    return 0
+
+
+def cmd_warptest(args) -> int:
+    """Headless χ² suite over every warp (warptest.cpp without the GUI)."""
+    from optix_renderer_tpu.core import warp
+    from optix_renderer_tpu.utils.hypothesis import chi2_sphere_test
+
+    cases = [
+        ("uniform_sphere", warp.square_to_uniform_sphere, warp.square_to_uniform_sphere_pdf, {}),
+        ("uniform_hemisphere", warp.square_to_uniform_hemisphere, warp.square_to_uniform_hemisphere_pdf, {}),
+        ("cosine_hemisphere", warp.square_to_cosine_hemisphere, warp.square_to_cosine_hemisphere_pdf, {}),
+        ("beckmann a=0.3", lambda u: warp.square_to_beckmann(u, 0.3), lambda d: warp.square_to_beckmann_pdf(d, 0.3), {"theta_res": 20}),
+        ("hg g=0.5", lambda u: warp.square_to_henyey_greenstein(u, 0.5), lambda d: warp.square_to_henyey_greenstein_pdf(d, 0.5), {}),
+        ("schlick k=0.5", lambda u: warp.square_to_schlick(u, 0.5), lambda d: warp.square_to_schlick_pdf(d, 0.5), {}),
+        ("sphere_cap c=0.5", lambda u: warp.square_to_uniform_sphere_cap(u, 0.5), lambda d: warp.square_to_uniform_sphere_cap_pdf(d, 0.5), {"theta_res": 20}),
+    ]
+    failures = 0
+    for name, sample_fn, pdf_fn, kw in cases:
+        ok, msg = chi2_sphere_test(sample_fn, pdf_fn, **kw)
+        print(f"{'PASS' if ok else 'FAIL'}  {name:24s} {msg}")
+        failures += 0 if ok else 1
+    return 1 if failures else 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="optix_renderer_tpu", description=__doc__.split("\n")[0]
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene XML")
+    pr.add_argument("scene")
+    pr.add_argument("-o", "--output", help="output basename (default: scene name)")
+    pr.add_argument("--spp", type=int, help="override sample count")
+    pr.add_argument("--size", help="override resolution, e.g. 800x600")
+    pr.add_argument("--integrator", help="override integrator")
+    pr.add_argument("--depth", type=int, help="max path depth")
+    pr.add_argument("--sharded", action="store_true", help="use all devices")
+    pr.add_argument("--denoise", action="store_true", help="bilateral denoise pass")
+    pr.add_argument("--no-adaptive", action="store_true")
+    pr.add_argument("-v", "--verbose", action="store_true")
+    pr.set_defaults(fn=cmd_render)
+
+    pt = sub.add_parser("tonemap", help="EXR → PNG")
+    pt.add_argument("files", nargs="+")
+    pt.add_argument("--exposure", type=float, default=1.0)
+    pt.set_defaults(fn=cmd_tonemap)
+
+    pw = sub.add_parser("warptest", help="chi^2 warp validation suite")
+    pw.set_defaults(fn=cmd_warptest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
