@@ -1,0 +1,299 @@
+"""LBVH: Morton-ordered bounding volume hierarchy for large triangle meshes.
+
+TPU-native replacement of the reference's binned-SAH BVH (include/nori/bvh.h,
+src/utils/bvh.cpp:36-462, TBB task-parallel build + iterative traversal) and
+of the OptiX GAS/IAS builds (OptixState.as.cpp:47-248). The design differs
+deliberately (SURVEY.md §2.8 item 5, §7 phase 2):
+
+* **Build** happens on the host at scene-compile time (like the reference's
+  CPU-side BVH build on scene update, scene.cpp:187-194): primitives are
+  sorted by 30-bit Morton code of their centroid and grouped into fixed-size
+  leaves; a median-split binary tree over the sorted leaf order (an LBVH
+  approximation of the Karras radix tree) is emitted in DFS preorder.
+  A native C++ builder (`optix_renderer_tpu/native`) is used when available;
+  the numpy path below is the reference implementation and fallback.
+
+* **Traversal** is stackless and lane-vectorized: nodes carry an *escape*
+  (skip) link, so each ray keeps a single int32 cursor instead of a stack —
+  one gather + one AABB slab test + `LEAF_SIZE` triangle tests per step, all
+  shapes static. This maps onto the TPU VPU (wide masked vector ops, no
+  per-lane stacks in VMEM) far better than the reference's per-thread stack
+  (bvh.cpp iterative traversal) would.
+
+Triangles keep their original global order — leaves index them through the
+`prim` permutation so emitter area-CDFs (build.py) and `make_interaction`
+gathers are untouched.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from optix_renderer_tpu.core.math import Ray
+
+LEAF_SIZE = 4
+# scenes below this triangle count use the chunked brute-force sweep
+# (ops/intersect.py) — at Cornell-box scale the sweep is faster than
+# pointer chasing, mirroring the reference's serial-below-32-prims cutoff
+# (bvh.cpp:57).
+MIN_TRIS_FOR_BVH = 257
+
+
+class Bvh(NamedTuple):
+    """Flattened threaded BVH (all arrays device-resident).
+
+    Nodes are in DFS preorder: the first child of interior node `i` is `i+1`;
+    `skip[i]` is the next node when the subtree of `i` is done (escape link).
+    `first[i]` is the offset of a leaf's primitives in `prim` (−1 for interior
+    nodes). Every leaf owns exactly LEAF_SIZE slots in `prim`, padded with −1.
+    """
+
+    node_min: jnp.ndarray  # [Nn,3]
+    node_max: jnp.ndarray  # [Nn,3]
+    skip: jnp.ndarray  # [Nn] int32
+    first: jnp.ndarray  # [Nn] int32 (−1 for interior)
+    prim: jnp.ndarray  # [n_leaves*LEAF_SIZE] int32 triangle ids (−1 pad)
+
+
+def empty_bvh() -> Bvh:
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    zi = jnp.zeros((0,), jnp.int32)
+    return Bvh(node_min=z3, node_max=z3, skip=zi, first=zi, prim=zi)
+
+
+# ---------------------------------------------------------------------------
+# Host-side build (numpy reference; see native/ for the C++ fast path)
+# ---------------------------------------------------------------------------
+
+
+def _expand_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of v so they occupy every 3rd bit."""
+    v = v.astype(np.uint32)
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+    return v
+
+
+def morton3d(p01: np.ndarray) -> np.ndarray:
+    """30-bit Morton code of points normalized to [0,1]^3. p01: [N,3]."""
+    q = np.clip(p01 * 1024.0, 0.0, 1023.0).astype(np.uint32)
+    return (
+        (_expand_bits(q[:, 0]) << np.uint32(2))
+        | (_expand_bits(q[:, 1]) << np.uint32(1))
+        | _expand_bits(q[:, 2])
+    )
+
+
+def build_lbvh_host(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = LEAF_SIZE
+):
+    """Build the flattened threaded LBVH on the host. Returns numpy arrays
+    (node_min, node_max, skip, first, prim)."""
+    try:
+        from optix_renderer_tpu.native import lbvh as native_lbvh
+    except Exception:
+        native_lbvh = None
+    if native_lbvh is not None:
+        out = native_lbvh.build(v0, v1, v2, leaf_size)
+        if out is not None:
+            return out
+    return build_lbvh_numpy(v0, v1, v2, leaf_size)
+
+
+def build_lbvh_numpy(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = LEAF_SIZE
+):
+    n = v0.shape[0]
+    assert n > 0
+    tmin = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    tmax = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    centroid = 0.5 * (tmin + tmax)
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    codes = morton3d((centroid - lo) / extent)
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    n_leaves = (n + leaf_size - 1) // leaf_size
+    prim = np.full(n_leaves * leaf_size, -1, np.int32)
+    prim[:n] = order
+
+    # per-leaf AABBs
+    leaf_min = np.full((n_leaves, 3), np.inf, np.float32)
+    leaf_max = np.full((n_leaves, 3), -np.inf, np.float32)
+    leaf_of = np.repeat(np.arange(n_leaves), leaf_size)[:n]
+    np.minimum.at(leaf_min, leaf_of, tmin[order])
+    np.maximum.at(leaf_max, leaf_of, tmax[order])
+
+    # iterative DFS-preorder median-split build over leaf ranges
+    n_nodes = 2 * n_leaves - 1
+    node_min = np.zeros((n_nodes, 3), np.float32)
+    node_max = np.zeros((n_nodes, 3), np.float32)
+    skip = np.zeros(n_nodes, np.int32)
+    first = np.full(n_nodes, -1, np.int32)
+    ranges = np.zeros((n_nodes, 2), np.int32)
+
+    idx = 0
+    # stack entries: (lo, hi, escape)
+    stack = [(0, n_leaves, n_nodes)]
+    while stack:
+        lo_i, hi_i, esc = stack.pop()
+        i = idx
+        idx += 1
+        ranges[i] = (lo_i, hi_i)
+        skip[i] = esc
+        if hi_i - lo_i == 1:
+            first[i] = lo_i * leaf_size
+            node_min[i] = leaf_min[lo_i]
+            node_max[i] = leaf_max[lo_i]
+        else:
+            mid = (lo_i + hi_i) // 2
+            # right child pushed first so left is emitted at i+1 (preorder);
+            # the left child's escape is the right child's index, which equals
+            # i+1 + nodes(left subtree) = i + 2*(mid-lo) — closed form for a
+            # full binary tree over the leaf range.
+            right_idx = i + 2 * (mid - lo_i)
+            stack.append((mid, hi_i, esc))
+            stack.append((lo_i, mid, right_idx))
+    assert idx == n_nodes
+
+    # interior AABBs: reverse preorder ⇒ children before parents
+    for i in range(n_nodes - 1, -1, -1):
+        if first[i] < 0:
+            l = i + 1
+            r = i + 2 * ((ranges[i, 0] + ranges[i, 1]) // 2 - ranges[i, 0])
+            node_min[i] = np.minimum(node_min[l], node_min[r])
+            node_max[i] = np.maximum(node_max[l], node_max[r])
+
+    return node_min, node_max, skip, first, prim
+
+
+def build_bvh(v0, v1, v2, leaf_size: int = LEAF_SIZE) -> Bvh:
+    """Host build → device arrays."""
+    node_min, node_max, skip, first, prim = build_lbvh_host(
+        np.asarray(v0), np.asarray(v1), np.asarray(v2), leaf_size
+    )
+    return Bvh(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        skip=jnp.asarray(skip, jnp.int32),
+        first=jnp.asarray(first, jnp.int32),
+        prim=jnp.asarray(prim, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side traversal
+# ---------------------------------------------------------------------------
+
+
+def _slab(o, inv_d, bmin, bmax, tmin, tmax):
+    """Ray–AABB slab test. All [N,3] / [N]; returns hit mask [N].
+
+    Contract of BoundingBox3f::rayIntersect (include/nori/bbox.h ray-slab
+    test), vectorized; inv_d is precomputed with ±inf for zero components.
+    """
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (near <= far) & (far >= tmin) & (near <= tmax)
+
+
+def _leaf_tris(o, d, v0, e1, e2):
+    """Möller–Trumbore for per-lane triangle bundles.
+
+    o,d: [N,3]; v0,e1,e2: [N,L,3] → t,u,v,hit: [N,L]. Same semantics as the
+    chunked sweep in ops/intersect.py (no backface culling, inclusive edges).
+    """
+    dN = d[:, None, :]
+    pvec = jnp.cross(dN, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    tvec = o[:, None, :] - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(dN * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return t, u, v, hit
+
+
+def traverse(
+    bvh: Bvh,
+    tri_v0: jnp.ndarray,
+    tri_e1: jnp.ndarray,
+    tri_e2: jnp.ndarray,
+    ray: Ray,
+    t_init: jnp.ndarray,
+    any_hit: bool = False,
+):
+    """Closest-hit traversal of a ray wavefront through the threaded BVH.
+
+    Returns (t, prim_id, u, v, found) each [N]. `t_init` is the initial far
+    clip (ray.maxt already folded in by the caller). With `any_hit` the walk
+    terminates a lane at its first confirmed hit (shadow-ray contract of
+    BVH::rayIntersect shadowRay=true, bvh.h:80-81).
+    """
+    n = ray.o.shape[0]
+    n_nodes = bvh.node_min.shape[0]
+    L = LEAF_SIZE
+
+    inv_d = 1.0 / jnp.where(jnp.abs(ray.d) > 1e-20, ray.d, 1e-20)
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_t, best_id, best_u, best_v, found = state
+        active = node < n_nodes
+        nid = jnp.minimum(node, n_nodes - 1)
+        bmin = bvh.node_min[nid]
+        bmax = bvh.node_max[nid]
+        hit_box = active & _slab(ray.o, inv_d, bmin, bmax, ray.mint, best_t)
+        fi = bvh.first[nid]
+        is_leaf = fi >= 0
+        do_leaf = hit_box & is_leaf
+
+        pids = bvh.prim[jnp.where(do_leaf, fi, 0)[:, None] + lane]  # [N,L]
+        ok = do_leaf[:, None] & (pids >= 0)
+        gid = jnp.maximum(pids, 0)
+        t, u, v, h = _leaf_tris(ray.o, ray.d, tri_v0[gid], tri_e1[gid], tri_e2[gid])
+        h = h & ok & (t >= ray.mint[:, None]) & (t < best_t[:, None])
+        t_masked = jnp.where(h, t, jnp.float32(3.4e38))
+        j = jnp.argmin(t_masked, axis=-1)
+        rows = jnp.arange(n)
+        tj = t_masked[rows, j]
+        better = tj < best_t
+        best_t = jnp.where(better, tj, best_t)
+        best_id = jnp.where(better, pids[rows, j], best_id)
+        best_u = jnp.where(better, u[rows, j], best_u)
+        best_v = jnp.where(better, v[rows, j], best_v)
+        found = found | better
+
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, bvh.skip[nid])
+        nxt = jnp.where(active, nxt, node)
+        if any_hit:
+            nxt = jnp.where(found, n_nodes, nxt)
+        return nxt, best_t, best_id, best_u, best_v, found
+
+    state = (
+        jnp.zeros(n, jnp.int32),
+        t_init,
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, bool),
+    )
+    node, best_t, best_id, best_u, best_v, found = jax.lax.while_loop(
+        cond, body, state
+    )
+    return best_t, best_id, best_u, best_v, found

@@ -26,6 +26,7 @@ from optix_renderer_tpu.core.math import (
     make_frame,
     normalize,
 )
+from optix_renderer_tpu.ops import bvh as bvh_mod
 from optix_renderer_tpu.scene.data import Geometry
 
 # primitive kinds in hit records
@@ -123,7 +124,26 @@ def intersect(geom: Geometry, ray: Ray, any_hit: bool = False) -> Hit:
     )
 
     n_tris = geom.tri_v0.shape[0]
-    if n_tris > 0:
+    if geom.bvh.node_min.shape[0] > 0:
+        # LBVH path for large meshes (ops/bvh.py) — static dispatch: the BVH
+        # is part of the scene pytree, so jit traces exactly one branch.
+        bt, bi, bu, bv, bf = bvh_mod.traverse(
+            geom.bvh,
+            geom.tri_v0,
+            geom.tri_e1,
+            geom.tri_e2,
+            ray,
+            best.t,
+            any_hit=any_hit,
+        )
+        best = Hit(
+            t=bt,
+            prim_kind=jnp.where(bf, PRIM_TRI, best.prim_kind),
+            prim_id=bi,
+            u=bu,
+            v=bv,
+        )
+    elif n_tris > 0:
         chunk = min(_TRI_CHUNK, n_tris)
         pad = (-n_tris) % chunk
         v0 = jnp.pad(geom.tri_v0, ((0, pad), (0, 0)))

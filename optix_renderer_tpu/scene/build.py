@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from optix_renderer_tpu.core import dpdf as dpdf_mod
 from optix_renderer_tpu.core import transform as tf
+from optix_renderer_tpu.ops import bvh as bvh_mod
 from optix_renderer_tpu.scene import obj as obj_mod
 from optix_renderer_tpu.scene.data import (
     Bsdfs,
@@ -467,6 +468,13 @@ class _Builder:
             sph_radius = np.zeros(0, np.float32)
             sph_shape = np.zeros(0, np.int32)
 
+        # LBVH for large meshes (scene.cpp:187-194 BVH rebuild analog);
+        # small scenes keep the brute-force sweep which beats pointer chasing.
+        if len(tri_v0) >= bvh_mod.MIN_TRIS_FOR_BVH:
+            bvh = bvh_mod.build_bvh(tri_v0, tri_v1, tri_v2)
+        else:
+            bvh = bvh_mod.empty_bvh()
+
         geometry = Geometry(
             tri_v0=_j(tri_v0),
             tri_e1=_j(tri_v1 - tri_v0),
@@ -477,6 +485,7 @@ class _Builder:
             sph_center=_j(sph_center),
             sph_radius=_j(sph_radius),
             sph_shape=_j(sph_shape, jnp.int32),
+            bvh=bvh,
         )
 
         # shape offsets into the global triangle array (for emitter CDFs)

@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from optix_renderer_tpu.core.dpdf import DiscretePDF
+from optix_renderer_tpu.ops.bvh import Bvh
 
 
 class BsdfType:
@@ -90,6 +91,11 @@ class Geometry(NamedTuple):
     sph_center: jnp.ndarray  # [S,3]
     sph_radius: jnp.ndarray  # [S]
     sph_shape: jnp.ndarray  # [S] int32 shape id
+    # LBVH over the triangle soup (ops/bvh.py); empty → brute-force sweep.
+    # The BVH analog of the reference's Scene-owned BVH (scene.h:41-201) and
+    # OptiX GAS/IAS (OptixState.as.cpp) — built at scene compile, traversed
+    # by a stackless threaded walk.
+    bvh: Bvh
 
 
 class Shapes(NamedTuple):
