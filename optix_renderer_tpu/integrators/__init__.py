@@ -12,10 +12,12 @@ Every integrator has the signature
 """
 
 from optix_renderer_tpu.integrators import path as _path
+from optix_renderer_tpu.integrators import pmap as _pmap
 from optix_renderer_tpu.integrators import simple as _simple
 from optix_renderer_tpu.integrators import volumetric as _volumetric
 
 REGISTRY = {
+    "photonmapper": _pmap.li_photonmapper,
     "normals": _simple.li_normals,
     "av": _simple.li_av,
     "direct": _simple.li_direct,

@@ -108,6 +108,9 @@ def render_sharded(
     sample_count: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Full multi-device render (the distributed renderThreadMain analog)."""
+    from optix_renderer_tpu.render.render import preprocess
+
+    scene = preprocess(scene, config)
     if mesh is None:
         mesh = make_mesh()
     spp = sample_count if sample_count is not None else config.sample_count

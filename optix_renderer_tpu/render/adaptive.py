@@ -47,6 +47,9 @@ def render_adaptive(
     verbose: bool = False,
 ):
     """Adaptive render: returns layer dict + variance image + samples used."""
+    from optix_renderer_tpu.render.render import preprocess
+
+    scene = preprocess(scene, config)
     spp = sample_count if sample_count is not None else config.sample_count
     w, h = config.width, config.height
     n_pix = w * h

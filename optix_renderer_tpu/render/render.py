@@ -29,6 +29,24 @@ from optix_renderer_tpu.scene.data import RenderConfig, SceneData
 MAX_LANES = 1 << 16
 
 
+def preprocess(scene: SceneData, config: RenderConfig) -> SceneData:
+    """Integrator preprocess hook (`Integrator::preprocess`, render.cpp:272):
+    the photon mapper builds its photon map here, once per render."""
+    if config.integrator == "photonmapper" and scene.photons.pos.shape[0] == 0:
+        from optix_renderer_tpu.ops.photon import build_photon_map
+
+        pm = build_photon_map(
+            scene,
+            photon_count=int(config.iprop("photonCount", 100_000)),
+            radius=float(config.iprop("photonRadius", 0.0)),
+            max_depth=config.max_depth,
+            n_lights=max(config.n_emitters, 1),
+            seed=config.seed,
+        )
+        scene = scene._replace(photons=pm)
+    return scene
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnums=())
 def render_round(
     scene: SceneData,
@@ -75,6 +93,7 @@ def render(
     outer loop = sample rounds, inner loop = pixel chunks (the tile scheduler,
     block.h:142-183 — chunk order is irrelevant since accumulation commutes).
     """
+    scene = preprocess(scene, config)
     spp = sample_count if sample_count is not None else config.sample_count
     w, h = config.width, config.height
     n_pix = w * h

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from optix_renderer_tpu.core import dpdf as dpdf_mod
 from optix_renderer_tpu.core import transform as tf
 from optix_renderer_tpu.ops import bvh as bvh_mod
+from optix_renderer_tpu.ops import photon as photon_mod
 from optix_renderer_tpu.scene import obj as obj_mod
 from optix_renderer_tpu.scene.data import (
     Bsdfs,
@@ -716,6 +717,7 @@ class _Builder:
             envmap_emitter=_j(envmap_emitter, jnp.int32),
             envmap_pick=envmap_pick,
             ambient_medium=_j(ambient_medium, jnp.int32),
+            photons=photon_mod.empty_photon_map(),
         )
         extras = {"integrator_props": integrator.props if integrator else None}
         return scene, config, extras

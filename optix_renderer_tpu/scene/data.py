@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from optix_renderer_tpu.core.dpdf import DiscretePDF
 from optix_renderer_tpu.ops.bvh import Bvh
+from optix_renderer_tpu.ops.photon import PhotonMap
 
 
 class BsdfType:
@@ -216,6 +217,10 @@ class SceneData(NamedTuple):
     envmap_emitter: jnp.ndarray  # [] int32 emitter id or -1
     envmap_pick: DiscretePDF  # luminance-importance DPDF over envmap pixels
     ambient_medium: jnp.ndarray  # [] int32 medium id or -1
+    # photon map (ops/photon.py), populated by render() when the integrator
+    # is "photonmapper" (the Integrator::preprocess analog, render.cpp:272);
+    # empty otherwise.
+    photons: PhotonMap
 
 
 @dataclass(frozen=True)
