@@ -41,7 +41,10 @@ _SHADOW_SEGMENTS = 4
 
 def _shadow_transmittance(scene, s, p_from, wi, maxt, medium_id):
     """Trace a shadow ray accumulating transmittance through pass-through
-    boundaries; blocked when any hit carries a BSDF."""
+    boundaries; blocked when any hit carries a BSDF.
+
+    Returns (sampler, Tr): heterogeneous segments are estimated by ratio
+    tracking, which consumes sampler state."""
     n = p_from.shape[0]
     tr = jnp.ones((n, 3))
     blocked = jnp.zeros(n, bool)
@@ -56,7 +59,8 @@ def _shadow_transmittance(scene, s, p_from, wi, maxt, medium_id):
         has_bsdf = its.valid & (scene.shapes.bsdf[sid] >= 0)
         blocked = blocked | has_bsdf
         seg = jnp.where(its.valid, its.t, remaining)
-        tr = tr * medium_ops.transmittance(scene.media, med, seg)
+        s, tr_seg = medium_ops.transmittance_est(scene.media, med, s, o, wi, seg)
+        tr = tr * tr_seg
         # step through the boundary: update medium by crossing direction
         entering = (dot(wi, its.n_g) < 0.0) & (
             scene.shapes.interior_medium[sid] >= 0
@@ -71,7 +75,7 @@ def _shadow_transmittance(scene, s, p_from, wi, maxt, medium_id):
         # lanes done: either blocked or no more hits
         if _ == _SHADOW_SEGMENTS - 1:
             break
-    return jnp.where(blocked[..., None], 0.0, tr)
+    return s, jnp.where(blocked[..., None], 0.0, tr)
 
 
 def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: bool):
@@ -100,12 +104,10 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
         albedo = jnp.where(first, a0, albedo)
         normal = jnp.where(first, n0, normal)
 
-        # ---- free-path sampling in the current medium
-        s, u_ch = smp.next_1d(s)
-        s, u_d = smp.next_1d(s)
-        t_med = medium_ops.sample_free_path(scene.media, med, u_ch, u_d)
-        is_medium, w_medium, w_surface = medium_ops.free_path_weights(
-            scene.media, med, t_med, ctx.its.t
+        # ---- free-path sampling in the current medium (homog analytic /
+        # heterog delta tracking, ops/medium.py sample_interaction)
+        s, is_medium, t_med, w_medium, w_surface = medium_ops.sample_interaction(
+            scene.media, med, s, ro, rd, ctx.its.t
         )
         is_medium = is_medium & active
         p = jnp.where(
@@ -197,7 +199,7 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
                     med,
                 ),
             )
-            tr = _shadow_transmittance(scene, s, p, es.wi, es.shadow_maxt, shadow_med)
+            s, tr = _shadow_transmittance(scene, s, p, es.wi, es.shadow_maxt, shadow_med)
 
             wi_local_surface = common.to_local(ctx, es.wi)
             f_surf = bsdf_ops.eval_bsdf(

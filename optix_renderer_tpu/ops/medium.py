@@ -120,3 +120,55 @@ def phase_pdf(media: Media, med_id: jnp.ndarray, wo_local: jnp.ndarray) -> jnp.n
         p_iso,
         jnp.where(ptype == PhaseType.HG, p_hg, p_schlick),
     )
+
+
+# ---------------------------------------------------------------------------
+# unified homogeneous/heterogeneous dispatch (consumed by the vol integrators)
+# ---------------------------------------------------------------------------
+
+
+def sample_interaction(media: Media, med_id, s, ro, rd, t_surface):
+    """Free-path sample in the lane's current medium, homog or heterog.
+
+    Returns (sampler, is_medium [N], t_event [N], w_medium [N,3],
+    w_surface [N,3]). Homogeneous lanes use the analytic channel-uniform
+    estimator above; heterogeneous lanes run delta tracking
+    (ops/volume_grid.py) with w_medium = σs/max_c(σt) and w_surface = 1
+    (delta tracking *is* the transmittance estimator).
+    """
+    from optix_renderer_tpu.ops import volume_grid as vg
+    from optix_renderer_tpu.render import sampler as smp
+
+    s, u_ch = smp.next_1d(s)
+    s, u_d = smp.next_1d(s)
+    t_med_h = sample_free_path(media, med_id, u_ch, u_d)
+    is_med_h, w_m_h, w_s_h = free_path_weights(media, med_id, t_med_h, t_surface)
+
+    if not vg.has_volumes(media):
+        return s, is_med_h, t_med_h, w_m_h, w_s_h
+
+    mid = jnp.maximum(med_id, 0)
+    is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
+    s, t_het = vg.delta_track(media, med_id, s, ro, rd, t_surface)
+    st_max = jnp.max(media.sigma_a[mid] + media.sigma_s[mid], axis=-1)
+    w_m_het = media.sigma_s[mid] / jnp.maximum(st_max, 1e-20)[..., None]
+
+    is_medium = jnp.where(is_het, t_het < t_surface, is_med_h)
+    t_event = jnp.where(is_het, t_het, t_med_h)
+    w_medium = jnp.where(is_het[..., None], w_m_het, w_m_h)
+    w_surface = jnp.where(is_het[..., None], 1.0, w_s_h)
+    return s, is_medium, t_event, w_medium, w_surface
+
+
+def transmittance_est(media: Media, med_id, s, o, d, dist):
+    """Transmittance over a segment: analytic for homogeneous lanes,
+    ratio tracking for heterogeneous ones. Returns (sampler, Tr [N,3])."""
+    from optix_renderer_tpu.ops import volume_grid as vg
+
+    tr = transmittance(media, med_id, dist)
+    if not vg.has_volumes(media):
+        return s, tr
+    mid = jnp.maximum(med_id, 0)
+    is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
+    s, tr_het = vg.ratio_track(media, med_id, s, o, d, dist)
+    return s, jnp.where(is_het[..., None], tr_het, tr)

@@ -1,0 +1,194 @@
+"""Heterogeneous media: voxel-grid sampling, delta tracking, ratio tracking.
+
+TPU-native counterpart of the reference heterogeneous medium
+(src/media/heterogmedium.cpp + NanoVDB HDDA): the sparse NanoVDB tree becomes
+a dense voxel grid in HBM (SURVEY.md §5.7c: "dense/paged voxel pyramid with
+DDA marching"); the world↔index ray transform (heterogmedium.cpp:105-140)
+becomes an axis-aligned bbox map; and the data-dependent null-collision walks
+become bounded `lax.while_loop`s over the whole ray wavefront.
+
+Extinction model (matches the reference's *sampling* math,
+heterogmedium.cpp:118-129): the effective extinction is achromatic,
+μ(x) = max_c(σt_c) · densityScale · density(x), with majorant
+M = max_c(σt_c) · densityScale · maxDensity; scattering stays spectral via
+the albedo σs_c/max_c(σt_c) applied at real collisions. The reference's
+transmittance routine initializes its accumulator to 0 and is dead code in
+practice (heterogmedium.cpp:152 `Color3f transmittance = 0.f`); we implement
+standard unbiased ratio tracking instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from optix_renderer_tpu.core import rng
+
+MAX_TRACK_STEPS = 2048
+
+
+def has_volumes(media) -> bool:
+    """Static: does the scene carry any voxel grids? (shape-level check)"""
+    return media.vol_density.shape[0] > 0
+
+
+def density_at(media, med_id: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Scaled density ρ(x) = densityScale·trilinear(density, x); 0 outside.
+
+    The NvdbVolume::getDensity analog (NvdbVolume.h:39-41 uses interpolation
+    order 2 = triquadratic; we use trilinear — a deliberate simplification,
+    differences are below typical tracking noise).
+    """
+    mid = jnp.maximum(med_id, 0)
+    vid = jnp.maximum(media.vol_id[mid], 0)
+    bmin = media.vol_bbox_min[vid]
+    bmax = media.vol_bbox_max[vid]
+    dims = media.vol_dims[vid].astype(jnp.float32)  # [N,3] (D,H,W)
+
+    # continuous index coordinates, voxel centers at i+0.5
+    rel = (p - bmin) / jnp.maximum(bmax - bmin, 1e-20)
+    # rel → (z,y,x) index order: dims are (D,H,W) over (z,y,x)
+    f = rel[..., ::-1] * dims - 0.5
+    f0 = jnp.floor(f)
+    w = f - f0
+    i0 = f0.astype(jnp.int32)
+
+    D = media.vol_density.shape[1]
+    H = media.vol_density.shape[2]
+    W = media.vol_density.shape[3]
+
+    def fetch(iz, iy, ix):
+        ok = (
+            (iz >= 0) & (iz < dims[..., 0].astype(jnp.int32))
+            & (iy >= 0) & (iy < dims[..., 1].astype(jnp.int32))
+            & (ix >= 0) & (ix < dims[..., 2].astype(jnp.int32))
+        )
+        izc = jnp.clip(iz, 0, D - 1)
+        iyc = jnp.clip(iy, 0, H - 1)
+        ixc = jnp.clip(ix, 0, W - 1)
+        v = media.vol_density[vid, izc, iyc, ixc]
+        return jnp.where(ok, v, 0.0)
+
+    iz, iy, ix = i0[..., 0], i0[..., 1], i0[..., 2]
+    wz, wy, wx = w[..., 0], w[..., 1], w[..., 2]
+    d = (
+        fetch(iz, iy, ix) * (1 - wz) * (1 - wy) * (1 - wx)
+        + fetch(iz, iy, ix + 1) * (1 - wz) * (1 - wy) * wx
+        + fetch(iz, iy + 1, ix) * (1 - wz) * wy * (1 - wx)
+        + fetch(iz, iy + 1, ix + 1) * (1 - wz) * wy * wx
+        + fetch(iz + 1, iy, ix) * wz * (1 - wy) * (1 - wx)
+        + fetch(iz + 1, iy, ix + 1) * wz * (1 - wy) * wx
+        + fetch(iz + 1, iy + 1, ix) * wz * wy * (1 - wx)
+        + fetch(iz + 1, iy + 1, ix + 1) * wz * wy * wx
+    )
+    inside = jnp.all((p >= bmin) & (p <= bmax), axis=-1)
+    return jnp.where(inside, media.density_scale[mid] * d, 0.0)
+
+
+def _bbox_clip(o, d, bmin, bmax, tmin, tmax):
+    """Clip [tmin,tmax] to the volume bbox; returns (t0, t1) with t0>t1 on miss."""
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    ta = (bmin - o) * inv
+    tb = (bmax - o) * inv
+    near = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    far = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    return jnp.maximum(near, tmin), jnp.minimum(far, tmax)
+
+
+def _majorant(media, med_id):
+    """M = max_c(σt_c)·densityScale·maxDensity, floored like the reference
+    (heterogmedium.cpp:81 densityMax = max(0.001, ...))."""
+    mid = jnp.maximum(med_id, 0)
+    st_max = jnp.max(media.sigma_a[mid] + media.sigma_s[mid], axis=-1)
+    dmax = jnp.maximum(media.density_scale[mid] * media.vol_majorant[jnp.maximum(media.vol_id[mid], 0)], 1e-3)
+    return st_max * dmax
+
+
+def delta_track(media, med_id, s, ro, rd, t_max):
+    """Woodcock/delta tracking to the next real collision.
+
+    Returns (sampler, t_event [N]) with t_event = +inf where the walk escapes
+    `t_max` or the volume bbox (heterogmedium.cpp:105-130 sampleFreePath).
+    Lanes whose medium is not heterogeneous escape immediately.
+    """
+    n = ro.shape[0]
+    from optix_renderer_tpu.scene.data import MediumType
+
+    mid = jnp.maximum(med_id, 0)
+    is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
+    vid = jnp.maximum(media.vol_id[mid], 0)
+    bmin = media.vol_bbox_min[vid]
+    bmax = media.vol_bbox_max[vid]
+    t0, t1 = _bbox_clip(ro, rd, bmin, bmax, jnp.zeros(n), t_max)
+    M = _majorant(media, med_id)
+    st_max = jnp.max(media.sigma_a[mid] + media.sigma_s[mid], axis=-1)
+
+    active0 = is_het & (t0 <= t1) & (M > 1e-12)
+
+    def cond(state):
+        _, _, active, _, k = state
+        return jnp.any(active) & (k < MAX_TRACK_STEPS)
+
+    def body(state):
+        st, t, active, t_event, k = state
+        st, u1 = rng.pcg32_next_float(st)
+        st, u2 = rng.pcg32_next_float(st)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / jnp.maximum(M, 1e-20)
+        escaped = t_new > t1
+        p = ro + rd * t_new[..., None]
+        rho = density_at(media, med_id, p)
+        # real collision test: μ(x)/M = σtmax·ρ / (σtmax·ρmax_scaled)
+        real = (rho * st_max / jnp.maximum(M, 1e-20)) >= u2
+        hit_now = active & (~escaped) & real
+        t_event = jnp.where(hit_now, t_new, t_event)
+        active = active & (~escaped) & (~real)
+        t = jnp.where(active, t_new, t)
+        return st, t, active, t_event, k + 1
+
+    state = (s.state, t0, active0, jnp.full(n, jnp.inf), jnp.int32(0))
+    st, _, _, t_event, _ = jax.lax.while_loop(cond, body, state)
+    return s._replace(state=st), t_event
+
+
+def ratio_track(media, med_id, s, o, d, dist):
+    """Unbiased ratio-tracking transmittance estimate over [0, dist].
+
+    T = Π (1 − μ(x_k)/M) along majorant-sampled tentative collisions — the
+    corrected form of heterogmedium.cpp:152-173 getTransmittance. Achromatic
+    (see module docstring); returned as [N,3] for interface symmetry.
+    Non-heterog lanes return 1.
+    """
+    n = o.shape[0]
+    from optix_renderer_tpu.scene.data import MediumType
+
+    mid = jnp.maximum(med_id, 0)
+    is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
+    vid = jnp.maximum(media.vol_id[mid], 0)
+    bmin = media.vol_bbox_min[vid]
+    bmax = media.vol_bbox_max[vid]
+    t0, t1 = _bbox_clip(o, d, bmin, bmax, jnp.zeros(n), dist)
+    M = _majorant(media, med_id)
+    st_max = jnp.max(media.sigma_a[mid] + media.sigma_s[mid], axis=-1)
+    active0 = is_het & (t0 <= t1) & (M > 1e-12)
+
+    def cond(state):
+        _, _, active, _, k = state
+        return jnp.any(active) & (k < MAX_TRACK_STEPS)
+
+    def body(state):
+        st, t, active, T, k = state
+        st, u1 = rng.pcg32_next_float(st)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / jnp.maximum(M, 1e-20)
+        escaped = t_new > t1
+        p = o + d * t_new[..., None]
+        rho = density_at(media, med_id, p)
+        factor = 1.0 - rho * st_max / jnp.maximum(M, 1e-20)
+        T = jnp.where(active & (~escaped), T * jnp.maximum(factor, 0.0), T)
+        active = active & (~escaped) & (T > 1e-6)
+        t = jnp.where(active, t_new, t)
+        return st, t, active, T, k + 1
+
+    state = (s.state, t0, active0, jnp.ones(n), jnp.int32(0))
+    st, _, _, T, _ = jax.lax.while_loop(cond, body, state)
+    T = jnp.where(is_het, T, 1.0)
+    return s._replace(state=st), T[..., None] * jnp.ones((n, 3))

@@ -68,7 +68,19 @@ class _Builder:
         self.em_rows = []
         self.med_rows = []
         self.images = []  # list of (h, w, data) float32 linear
+        self.volumes = []  # list of volume_io.VolumeGrid (heterog media)
         self.tri_count = 0
+
+    # -- volumes -----------------------------------------------------------
+
+    def build_volume(self, node: SceneNode) -> int:
+        """<volume type="volume"> child of a heterog medium
+        (NvdbVolume, NvdbVolume.h:14-86): loads .vdb/.nvdb/.npz/.npy."""
+        from optix_renderer_tpu.scene import volume_io
+
+        fname = self.origin / node.props.get_string("filename")
+        self.volumes.append(volume_io.load_volume(fname))
+        return len(self.volumes) - 1
 
     # -- textures ----------------------------------------------------------
 
@@ -225,6 +237,9 @@ class _Builder:
             phase_g=0.0,
             emission=np.zeros(3, np.float32),
             emitter=-1,
+            vol_id=-1,
+            density_scale=1.0,
+            temperature_scale=0.0,
         )
         if node.type == "vacuum":
             row["type"] = MediumType.VACUUM
@@ -234,7 +249,14 @@ class _Builder:
             row["sigma_a"] = row["sigma_a"] * density
             row["sigma_s"] = row["sigma_s"] * density
         elif node.type == "heterog":
-            raise SceneBuildError("heterogeneous media not yet supported in builder")
+            # heterogmedium.cpp:47-51 + NvdbVolume child
+            row["type"] = MediumType.HETEROG
+            row["density_scale"] = p.get_float("densityScale", 1.0)
+            row["temperature_scale"] = p.get_float("temperatureScale", 0.0)
+            vol_node = node.child("volume")
+            if vol_node is None:
+                raise SceneBuildError("heterog medium requires a <volume> child")
+            row["vol_id"] = self.build_volume(vol_node)
         else:
             raise SceneBuildError(f"unsupported medium type '{node.type}'")
 
@@ -638,8 +660,40 @@ class _Builder:
                     phase_g=0.0,
                     emission=np.zeros(3, np.float32),
                     emitter=-1,
+                    vol_id=-1,
+                    density_scale=1.0,
+                    temperature_scale=0.0,
                 )
             )
+        # volume stack: pad all grids to a common [D,H,W]
+        if self.volumes:
+            dmax = max(v.density.shape[0] for v in self.volumes)
+            hmax = max(v.density.shape[1] for v in self.volumes)
+            wmax = max(v.density.shape[2] for v in self.volumes)
+            nv = len(self.volumes)
+            vol_density = np.zeros((nv, dmax, hmax, wmax), np.float32)
+            vol_temperature = np.zeros((nv, dmax, hmax, wmax), np.float32)
+            vol_dims = np.zeros((nv, 3), np.int32)
+            vol_bbox_min = np.zeros((nv, 3), np.float32)
+            vol_bbox_max = np.ones((nv, 3), np.float32)
+            vol_majorant = np.zeros(nv, np.float32)
+            for i, v in enumerate(self.volumes):
+                d, h, w = v.density.shape
+                vol_density[i, :d, :h, :w] = v.density
+                if v.temperature is not None:
+                    vol_temperature[i, :d, :h, :w] = v.temperature
+                vol_dims[i] = (d, h, w)
+                vol_bbox_min[i] = v.bbox_min
+                vol_bbox_max[i] = v.bbox_max
+                vol_majorant[i] = float(v.density.max())
+        else:
+            vol_density = np.zeros((0, 1, 1, 1), np.float32)
+            vol_temperature = np.zeros((0, 1, 1, 1), np.float32)
+            vol_dims = np.zeros((0, 3), np.int32)
+            vol_bbox_min = np.zeros((0, 3), np.float32)
+            vol_bbox_max = np.zeros((0, 3), np.float32)
+            vol_majorant = np.zeros(0, np.float32)
+
         media = Media(
             type=col(self.med_rows, "type", np.int32),
             sigma_a=col(self.med_rows, "sigma_a", width=3),
@@ -648,6 +702,15 @@ class _Builder:
             phase_g=col(self.med_rows, "phase_g"),
             emission=col(self.med_rows, "emission", width=3),
             emitter=col(self.med_rows, "emitter", np.int32),
+            vol_id=col(self.med_rows, "vol_id", np.int32),
+            density_scale=col(self.med_rows, "density_scale"),
+            temperature_scale=col(self.med_rows, "temperature_scale"),
+            vol_density=_j(vol_density),
+            vol_temperature=_j(vol_temperature),
+            vol_dims=_j(vol_dims, jnp.int32),
+            vol_bbox_min=_j(vol_bbox_min),
+            vol_bbox_max=_j(vol_bbox_max),
+            vol_majorant=_j(vol_majorant),
         )
 
         # ---- camera (perspective.cpp:10-96)

@@ -173,9 +173,13 @@ class Emitters(NamedTuple):
 
 
 class Media(NamedTuple):
-    """Homogeneous media + phase functions (medium.h:26-90, homogmedium.cpp).
+    """Media + phase functions (medium.h:26-90, homogmedium.cpp,
+    heterogmedium.cpp).
 
-    Heterogeneous voxel grids are added by the volume subsystem (ops/medium).
+    Heterogeneous media reference a dense voxel-grid stack (the NanoVDB-grid
+    analog, NvdbVolume.h:14-86): grids are padded to a common [D,H,W] so
+    lookups are plain gathers; per-volume true dims + world bboxes drive the
+    index transform (the worldToIndexF analog, heterogmedium.cpp:105-140).
     """
 
     type: jnp.ndarray  # [M] int32 MediumType
@@ -185,6 +189,17 @@ class Media(NamedTuple):
     phase_g: jnp.ndarray  # [M] HG g / Schlick k
     emission: jnp.ndarray  # [M,3] volumetric emission radiance
     emitter: jnp.ndarray  # [M] emitter id or -1 (volume emitter attachment)
+    # heterogeneous-medium fields (heterogmedium.cpp:47-51 params)
+    vol_id: jnp.ndarray  # [M] int32 index into the volume stack or -1
+    density_scale: jnp.ndarray  # [M]
+    temperature_scale: jnp.ndarray  # [M]
+    # volume stack (empty [0,...] when the scene has no heterog media)
+    vol_density: jnp.ndarray  # [V,D,H,W] float32
+    vol_temperature: jnp.ndarray  # [V,D,H,W] float32 (zeros when absent)
+    vol_dims: jnp.ndarray  # [V,3] int32 true (D,H,W)
+    vol_bbox_min: jnp.ndarray  # [V,3] world-space bbox
+    vol_bbox_max: jnp.ndarray  # [V,3]
+    vol_majorant: jnp.ndarray  # [V] max unscaled density
 
 
 class Camera(NamedTuple):
