@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from optix_renderer_tpu.core import warp
+from optix_renderer_tpu.ops import envmap as envmap_ops
 from optix_renderer_tpu.core.math import (
     EPSILON,
     INV_FOURPI,
@@ -155,10 +156,11 @@ def sample_emitter(
     pdf_dir = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_cap), 1e-12)
     val_dir = em.radiance[eid] / pdf_dir[..., None]
 
-    # ---- envmap (constant radiance case; image-based handled in ops/envmap)
-    wi_env = warp.square_to_uniform_sphere(u2)
-    pdf_env = jnp.full(n_lanes, INV_FOURPI)
-    val_env = em.radiance[eid] / INV_FOURPI
+    # ---- envmap (environmentmap.cpp:73-104): luminance-importance sample
+    # over the lat-long image, eval/pdf in ops/envmap (constant 1×1 maps
+    # degenerate to uniform-sphere, like the reference's fallback texture)
+    wi_env, pdf_env, rad_env = envmap_ops.sample_dir(scene.envmap, scene.envmap_pick, u2)
+    val_env = rad_env / jnp.maximum(pdf_env, 1e-20)[..., None]
 
     is_area = (etype == EmitterType.AREA) | (etype == EmitterType.VOLUME)
     is_point = etype == EmitterType.POINT
@@ -258,17 +260,12 @@ def pdf_envmap_direction(scene: SceneData, d: jnp.ndarray) -> jnp.ndarray:
     apply the balance heuristic instead.
     """
     has = scene.envmap_emitter >= 0
-    return jnp.where(has, INV_FOURPI, 0.0) * jnp.ones(d.shape[0])
+    return jnp.where(has, envmap_ops.pdf_dir(scene.envmap, scene.envmap_pick, d), 0.0)
 
 
 def eval_envmap(scene: SceneData, d: jnp.ndarray) -> jnp.ndarray:
-    """Environment radiance for escaped rays (miss shader, shading.cpp:39-60).
-
-    Constant-radiance case; image-based lookup added by ops/envmap.
-    Returns 0 when the scene has no envmap emitter.
-    """
-    em = scene.emitters
+    """Environment radiance for escaped rays (miss shader, shading.cpp:39-60;
+    image lookup environmentmap.cpp:118-131). 0 when no envmap emitter."""
     has = scene.envmap_emitter >= 0
-    eid = jnp.maximum(scene.envmap_emitter, 0)
-    val = em.radiance[eid]
-    return jnp.where(has, val[None, :], 0.0) * jnp.ones((d.shape[0], 3))
+    val = envmap_ops.eval_dir(scene.envmap, normalize(d))
+    return jnp.where(has, val, 0.0)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from optix_renderer_tpu.core import dpdf as dpdf_mod
 from optix_renderer_tpu.core import transform as tf
 from optix_renderer_tpu.ops import bvh as bvh_mod
+from optix_renderer_tpu.ops import envmap as envmap_mod
 from optix_renderer_tpu.ops import photon as photon_mod
 from optix_renderer_tpu.scene import obj as obj_mod
 from optix_renderer_tpu.scene.data import (
@@ -69,6 +70,7 @@ class _Builder:
         self.med_rows = []
         self.images = []  # list of (h, w, data) float32 linear
         self.volumes = []  # list of volume_io.VolumeGrid (heterog media)
+        self.envmap_source = None  # dict(image, euler) for image-based envmaps
         self.tri_count = 0
 
     # -- volumes -----------------------------------------------------------
@@ -306,7 +308,6 @@ class _Builder:
             area=0.0,
             sphere_id=-1,
             light_prob=p.get_float("lightWeight", 1.0),
-            envmap_tex=-1,
             medium=medium_id,
         )
         t = node.type
@@ -341,9 +342,40 @@ class _Builder:
         elif t == "envmap":
             row["type"] = EmitterType.ENVMAP
             row["radiance"] = p.get_color("radiance", np.ones(3, np.float32))
+            # image-based map: the texture child is NOT lowered into the
+            # shared texture stack (a 4k envmap would pad every scene texture
+            # to 4k) — it feeds the dedicated lat-long tables (ops/envmap.py,
+            # environmentmap.cpp:12-18 constant fallback otherwise).
             tex_child = node.child("texture")
             if tex_child is not None:
-                row["envmap_tex"] = self.build_texture(tex_child)
+                tp = tex_child.props
+                if tex_child.type in ("png_texture",):
+                    from optix_renderer_tpu.utils import imageio as iio
+
+                    fname = self.origin / tp.get_string("filename")
+                    img = iio.read_image(str(fname))
+                    # PNGTexture.cpp:26 sRGB default (name != "normal");
+                    # HDR formats are already linear
+                    if tp.get_boolean(
+                        "sRGB", True
+                    ) and fname.suffix.lower() not in (".hdr", ".exr"):
+                        img = iio.srgb_to_linear(img)
+                    img = img * tp.get_float("intensity", 1.0)
+                    euler = np.asarray(
+                        tp.props.get("eulerAngles", np.zeros(3)), np.float32
+                    ).reshape(-1)[:3]
+                    self.envmap_source = dict(image=img, euler=tuple(euler))
+                elif tex_child.type in ("constant_color", "constant_float"):
+                    v = (
+                        tp.get_color("value", np.full(3, 0.5, np.float32))
+                        if tex_child.type == "constant_color"
+                        else np.full(3, tp.get_float("value", 0.5), np.float32)
+                    )
+                    row["radiance"] = row["radiance"] * v
+                else:
+                    raise SceneBuildError(
+                        f"unsupported envmap texture '{tex_child.type}'"
+                    )
         else:
             raise SceneBuildError(f"unsupported emitter type '{t}'")
         self.em_rows.append(row)
@@ -464,7 +496,6 @@ class _Builder:
                     area=0.0,
                     sphere_id=-1,
                     light_prob=1.0,
-                    envmap_tex=-1,
                     medium=-1,
                 )
             )
@@ -590,7 +621,6 @@ class _Builder:
             area=col(self.em_rows, "area"),
             sphere_id=col(self.em_rows, "sphere_id", np.int32),
             light_prob=col(self.em_rows, "light_prob"),
-            envmap_tex=col(self.em_rows, "envmap_tex", np.int32),
         )
 
         # emitter-pick DPDF over lightProb (scene.cpp:179-184)
@@ -764,9 +794,22 @@ class _Builder:
             n_emitters=n_real_emitters,
         )
 
-        # placeholder envmap-pixel DPDF (filled by envmap subsystem when an
-        # image-based envmap is present; environmentmap.cpp:73-131)
-        envmap_pick = dpdf_mod.build(jnp.ones(1))
+        # envmap tables: oriented lat-long grid + luminance·sinθ pixel DPDF
+        # (environmentmap.cpp:154-168 calculateProbs analog, ops/envmap.py)
+        if envmap_emitter >= 0 and self.envmap_source is not None:
+            env_tables, envmap_pick = envmap_mod.build_tables(
+                self.envmap_source["image"],
+                self.em_rows[envmap_emitter]["radiance"],
+                self.envmap_source["euler"],
+            )
+        else:
+            rad = (
+                self.em_rows[envmap_emitter]["radiance"]
+                if envmap_emitter >= 0
+                else np.zeros(3, np.float32)
+            )
+            env_tables = envmap_mod.constant_tables(rad)
+            envmap_pick = dpdf_mod.build(jnp.ones(1))
 
         scene = SceneData(
             geometry=geometry,
@@ -778,6 +821,7 @@ class _Builder:
             camera=cam,
             emitter_pick=pick,
             envmap_emitter=_j(envmap_emitter, jnp.int32),
+            envmap=env_tables,
             envmap_pick=envmap_pick,
             ambient_medium=_j(ambient_medium, jnp.int32),
             photons=photon_mod.empty_photon_map(),

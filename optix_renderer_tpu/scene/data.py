@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from optix_renderer_tpu.core.dpdf import DiscretePDF
 from optix_renderer_tpu.ops.bvh import Bvh
+from optix_renderer_tpu.ops.envmap import EnvmapTables
 from optix_renderer_tpu.ops.photon import PhotonMap
 
 
@@ -169,7 +170,6 @@ class Emitters(NamedTuple):
     area: jnp.ndarray  # [E] total surface area (or sphere area)
     sphere_id: jnp.ndarray  # [E] global sphere index for sphere-shaped emitters
     light_prob: jnp.ndarray  # [E] emitter-pick weight (emitter.h:151)
-    envmap_tex: jnp.ndarray  # [E] texture id for envmap emitters or -1
 
 
 class Media(NamedTuple):
@@ -230,7 +230,10 @@ class SceneData(NamedTuple):
     camera: Camera
     emitter_pick: DiscretePDF  # scene.cpp:179-184 lightProb-weighted DPDF
     envmap_emitter: jnp.ndarray  # [] int32 emitter id or -1
-    envmap_pick: DiscretePDF  # luminance-importance DPDF over envmap pixels
+    # image-based envmap (ops/envmap.py; environmentmap.cpp:73-168):
+    # oriented lat-long radiance grid + luminance·sinθ pixel DPDF
+    envmap: EnvmapTables
+    envmap_pick: DiscretePDF
     ambient_medium: jnp.ndarray  # [] int32 medium id or -1
     # photon map (ops/photon.py), populated by render() when the integrator
     # is "photonmapper" (the Integrator::preprocess analog, render.cpp:272);

@@ -159,11 +159,71 @@ def linear_to_srgb(img: np.ndarray) -> np.ndarray:
     )
 
 
+def read_hdr(path: str | Path) -> np.ndarray:
+    """Read a Radiance RGBE `.hdr` file → [h,w,3] float32 linear HDR.
+
+    Counterpart of the reference's HDRLoader (include/nori/HDRLoader.h:28-33
+    decode: v = mantissa/256 · 2^(E−128)); handles both the new RLE scanline
+    encoding and flat RGBE rows, vectorized with numpy.
+    """
+    buf = Path(path).read_bytes()
+    # header: text lines until a blank line, then the resolution line
+    pos = 0
+    if not (buf.startswith(b"#?RADIANCE") or buf.startswith(b"#?RGBE")):
+        raise ValueError(f"{path}: not a Radiance HDR file")
+    while True:
+        end = buf.index(b"\n", pos)
+        line = buf[pos:end]
+        pos = end + 1
+        if line == b"":
+            break
+    end = buf.index(b"\n", pos)
+    res = buf[pos:end].split()
+    pos = end + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"{path}: unsupported HDR orientation {res}")
+    h, w = int(res[1]), int(res[3])
+
+    data = np.frombuffer(buf, np.uint8, offset=pos)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    dpos = 0
+    for y in range(h):
+        # new-style RLE scanline: 0x02 0x02 hi lo, per-channel RLE runs
+        if w >= 8 and w < 32768 and data[dpos] == 2 and data[dpos + 1] == 2 and (
+            (int(data[dpos + 2]) << 8) | int(data[dpos + 3])
+        ) == w:
+            dpos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = int(data[dpos])
+                    if count > 128:  # run of a repeated byte
+                        rgbe[y, x : x + count - 128, c] = data[dpos + 1]
+                        x += count - 128
+                        dpos += 2
+                    else:  # literal bytes
+                        rgbe[y, x : x + count, c] = data[dpos + 1 : dpos + 1 + count]
+                        x += count
+                        dpos += 1 + count
+        else:  # flat RGBE row (old format; ignore old-style 1,1,1 RLE)
+            rgbe[y] = data[dpos : dpos + w * 4].reshape(w, 4)
+            dpos += w * 4
+    mant = rgbe[..., :3].astype(np.float32) / 256.0
+    expo = rgbe[..., 3].astype(np.int32) - 128
+    out = mant * np.exp2(expo.astype(np.float32))[..., None]
+    out[rgbe[..., 3] == 0] = 0.0
+    return out
+
+
 def read_image(path: str | Path) -> np.ndarray:
-    """Read PNG/JPG (via PIL) or EXR → [h,w,3] float32 in [0,1] (LDR) or HDR."""
+    """Read PNG/JPG (PIL), `.hdr` (RGBE) or EXR → [h,w,3] float32;
+    LDR formats land in [0,1], HDR formats keep linear radiance."""
     path = Path(path)
-    if path.suffix.lower() == ".exr":
+    suffix = path.suffix.lower()
+    if suffix == ".exr":
         return read_exr(path)[..., :3]
+    if suffix == ".hdr":
+        return read_hdr(path)
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
