@@ -20,7 +20,18 @@ from pathlib import Path
 
 def cmd_render(args) -> int:
     from optix_renderer_tpu.scene.build import load_scene
+    from optix_renderer_tpu.scene.parser import load_from_xml
     from optix_renderer_tpu.utils import imageio as iio
+
+    # <test> roots execute their statistical test instead of rendering —
+    # exactly how the reference runs ttest/chi2test scene objects on load
+    # (ttest.cpp:81-95, main.cpp `nori scene_with_test.xml`)
+    root = load_from_xml(args.scene)
+    if root.tag == "test":
+        from optix_renderer_tpu.validation import run_xml_test
+
+        report = run_xml_test(root)
+        return 0 if report.ok else 1
 
     scene, config, _ = load_scene(args.scene)
     overrides = {}
@@ -102,6 +113,13 @@ def cmd_tonemap(args) -> int:
     return 0
 
 
+def cmd_test(args) -> int:
+    from optix_renderer_tpu.validation import run_xml_test
+
+    report = run_xml_test(args.scene, sample_scale=args.sample_scale)
+    return 0 if report.ok else 1
+
+
 def cmd_warptest(args) -> int:
     """Headless χ² suite over every warp (warptest.cpp without the GUI)."""
     from optix_renderer_tpu.core import warp
@@ -150,6 +168,16 @@ def main(argv=None) -> int:
 
     pw = sub.add_parser("warptest", help="chi^2 warp validation suite")
     pw.set_defaults(fn=cmd_warptest)
+
+    px = sub.add_parser(
+        "test", help="run a <test type=ttest|chi2test> XML (ttest.cpp/chi2test.cpp)"
+    )
+    px.add_argument("scene")
+    px.add_argument(
+        "--sample-scale", type=float, default=1.0,
+        help="scale all sample counts (fast tier)",
+    )
+    px.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -85,17 +85,17 @@ def nee(
     ctx: ShadingCtx,
     wo_local: jnp.ndarray,
     em_id: jnp.ndarray,
-    u2: jnp.ndarray,
+    u3: jnp.ndarray,
     n_lights: int,
     abs_cos: bool = False,
 ):
-    """One next-event-estimation try against emitter `em_id`.
+    """One next-event-estimation try against emitter `em_id` (u3: [N,3]).
 
     Returns (contrib [N,3] already scaled ×n_lights as the reference does,
     pdf_ems [N] divided by n_lights, pdf_mat [N] BSDF pdf toward the light,
     visible [N]). Mirrors path_mis.cpp:74-106.
     """
-    es = emitter_ops.sample_emitter(scene, em_id, ctx.its.p, u2)
+    es = emitter_ops.sample_emitter(scene, em_id, ctx.its.p, u3)
     wi_local = to_local(ctx, es.wi)
     nonzero = jnp.any(jnp.abs(es.value) > EPSILON, axis=-1)
     shadow_ray = Ray(

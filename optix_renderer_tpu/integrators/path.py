@@ -149,7 +149,7 @@ def li_path_mis(scene: SceneData, config: RenderConfig, ray: Ray, sampler):
         wo_local = common.to_local(ctx, -normalize(rd))
         s, u_pick = smp.next_1d(s)
         em_id = common.pick_emitter(scene, u_pick)
-        s, u_ems = smp.next_2d(s)
+        s, u_ems = smp.next_3d(s)
         ems_contrib, pdf_ems, pdf_mat_at_ems, _ = common.nee(
             scene, ctx, wo_local, em_id, u_ems, n_lights=n_lights, abs_cos=False
         )

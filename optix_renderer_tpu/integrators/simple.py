@@ -64,7 +64,7 @@ def _direct_all_lights(scene, config, ray, sampler, add_hit_emitter: bool, abs_c
     wo_local = common.to_local(ctx, normalize(ray.o - ctx.its.p))
 
     for e in range(config.n_emitters):
-        sampler, u2 = smp.next_2d(sampler)
+        sampler, u2 = smp.next_3d(sampler)
         em_id = jnp.full(n, e, jnp.int32)
         contrib, _, _, _ = common.nee(
             scene, ctx, wo_local, em_id, u2, n_lights=1, abs_cos=abs_cos
@@ -127,7 +127,7 @@ def li_direct_mis(scene, config, ray, sampler):
     # EMS side
     sampler, u1 = smp.next_1d(sampler)
     em_id = common.pick_emitter(scene, u1)
-    sampler, u2 = smp.next_2d(sampler)
+    sampler, u2 = smp.next_3d(sampler)
     ems_contrib, pdf_ems, pdf_mat_at_ems, _ = common.nee(
         scene, ctx, wo_local, em_id, u2, n_lights=n_lights, abs_cos=False
     )
@@ -188,7 +188,7 @@ def li_preview(scene, config, ray, sampler):
     wo_local = common.to_local(ctx, normalize(ray.o - ctx.its.p))
     sampler, u1 = smp.next_1d(sampler)
     em_id = common.pick_emitter(scene, u1)
-    sampler, u2 = smp.next_2d(sampler)
+    sampler, u2 = smp.next_3d(sampler)
     contrib, _, _, _ = common.nee(
         scene, ctx, wo_local, em_id, u2, n_lights=n_lights, abs_cos=True
     )

@@ -83,7 +83,13 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
     n_lights = max(config.n_emitters, 1)
 
     def body(carry, bounce):
-        (ro, rd, t, L, active, med, pdf_mat, pdf_discrete, albedo, normal, s) = carry
+        # pv = last REAL scattering vertex (camera / bsdf / phase event) —
+        # pass-through medium boundaries advance ro but not pv, so MATS-side
+        # emitter-pdf probes stay in the solid-angle measure of the vertex
+        # where pdf_mat was generated (the reference probes from the segment
+        # origin, path_vol_mis.cpp:155-161, which biases MIS when a boundary
+        # sits between the scatter vertex and the light).
+        (ro, rd, t, L, active, med, pdf_mat, pdf_discrete, pv, albedo, normal, s) = carry
         r = Ray(o=ro, d=rd, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, jnp.inf))
         ctx = common.trace(scene, r)
         first = bounce == 0
@@ -106,13 +112,45 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
 
         # ---- free-path sampling in the current medium (homog analytic /
         # heterog delta tracking, ops/medium.py sample_interaction)
-        s, is_medium, t_med, w_medium, w_surface = medium_ops.sample_interaction(
-            scene.media, med, s, ro, rd, ctx.its.t
-        )
+        (
+            s,
+            is_medium,
+            t_med,
+            w_medium,
+            w_surface,
+            w_emission,
+        ) = medium_ops.sample_interaction(scene.media, med, s, ro, rd, ctx.its.t)
         is_medium = is_medium & active
         p = jnp.where(
             is_medium[..., None], ro + rd * t_med[..., None], ctx.its.p
         )
+
+        # ---- medium emission at real medium events (path_vol_mis.cpp:146-172
+        # "Apply captured emission - MATS" + temperature emission): uses the
+        # PRE-update throughput × the emission event weight Tr/pdf_t
+        # Volume-light emission strategy split (deviation from the reference's
+        # balance heuristic, path_vol_mis.cpp:146-172, which is inconsistent —
+        # a correct balance would need the free-path density in both weights):
+        # NEE covers volume lights from every real scattering vertex (weight 1
+        # below), so MATS-side emission counts ONLY on delta prefixes
+        # (camera / discrete-BSDF chains) where NEE cannot run. Unbiased:
+        # every path suffix is covered by exactly one strategy.
+        mid_lane = jnp.maximum(med, 0)
+        med_em = jnp.where(med >= 0, scene.media.emitter[mid_lane], -1)
+        has_med_em = is_medium & (med_em >= 0)
+        w_mats_med = jnp.where(first | pdf_discrete, 1.0, 0.0)
+        if not use_mis:
+            w_mats_med = jnp.ones_like(w_mats_med)
+        le_const = jnp.where(
+            has_med_em[..., None],
+            w_mats_med[..., None] * scene.emitters.radiance[jnp.maximum(med_em, 0)],
+            0.0,
+        )
+        le_temp = medium_ops.event_emission(scene.media, med, p)  # weight-1 (no NEE)
+        L = L + jnp.where(
+            is_medium[..., None], t * w_emission * (le_const + le_temp), 0.0
+        )
+
         t = jnp.where(
             active[..., None], t * jnp.where(is_medium[..., None], w_medium, w_surface), t
         )
@@ -125,7 +163,7 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
         # handled by the volume-emitter subsystem)
         hit_em = active & (~is_medium) & (ctx.emitter_id >= 0)
         pdf_ems_here = emitter_ops.pdf_hit_emitter(
-            scene, ctx.emitter_id, ro, ctx.its.p, ctx.frame.n, normalize(rd)
+            scene, ctx.emitter_id, pv, ctx.its.p, ctx.frame.n, normalize(rd)
         ) / float(n_lights)
         denom = pdf_mat + pdf_ems_here
         w_mats = jnp.where(
@@ -183,7 +221,7 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
         if use_mis:
             s, u_pick = smp.next_1d(s)
             em_id = common.pick_emitter(scene, u_pick)
-            s, u_ems = smp.next_2d(s)
+            s, u_ems = smp.next_3d(s)  # volume emitters need a 3D sample
             es = emitter_ops.sample_emitter(scene, em_id, p, u_ems)
             # shadow medium: crossing vs reflected (path_vol_mis.cpp:70-77)
             same_dir = dot(rd, es.wi) > 0.0
@@ -223,6 +261,11 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
             w_ems = jnp.where(
                 pdf_ems > EPSILON, pdf_ems / jnp.maximum(pdf_ems + pdf_mat_at_ems, 1e-20), 0.0
             )
+            # volume lights are NEE-only (see emission-strategy note above)
+            from optix_renderer_tpu.scene.data import EmitterType
+
+            is_vol_light = scene.emitters.type[jnp.maximum(em_id, 0)] == EmitterType.VOLUME
+            w_ems = jnp.where(is_vol_light & (pdf_ems > EPSILON), 1.0, w_ems)
             valid_ems = active & (is_medium | (has_bsdf & (~bs.is_discrete)))
             contrib = (
                 w_ems[..., None]
@@ -248,9 +291,11 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
 
         dead = jnp.all(jnp.abs(t) < 1e-12, axis=-1)
         active = active & (~dead)
+        # real scattering vertex → becomes the new pdf-probe origin
+        pv = jnp.where((active & (is_medium | has_bsdf))[..., None], p, pv)
         ro = jnp.where(active[..., None], p, ro)
         rd = jnp.where(active[..., None], wo, rd)
-        return (ro, rd, t, L, active, med, new_pdf_mat, new_discrete, albedo, normal, s), None
+        return (ro, rd, t, L, active, med, new_pdf_mat, new_discrete, pv, albedo, normal, s), None
 
     init = (
         ray.o,
@@ -261,10 +306,11 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
         jnp.broadcast_to(scene.ambient_medium, (n,)).astype(jnp.int32),
         jnp.ones(n),  # pdf_mat ("camera is like delta bsdf")
         jnp.ones(n, bool),  # pdf_discrete — first-vertex w=1
+        ray.o,  # pv: the camera vertex
         jnp.zeros((n, 3)),
         jnp.zeros((n, 3)),
         sampler,
     )
     carry, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth))
-    L, albedo, normal, sampler = carry[3], carry[8], carry[9], carry[10]
+    L, albedo, normal, sampler = carry[3], carry[9], carry[10], carry[11]
     return L, albedo, normal, sampler

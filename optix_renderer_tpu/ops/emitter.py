@@ -112,13 +112,19 @@ def _spot_falloff(scene: SceneData, em_id, w):
 
 
 def sample_emitter(
-    scene: SceneData, em_id: jnp.ndarray, ref: jnp.ndarray, u2: jnp.ndarray
+    scene: SceneData, em_id: jnp.ndarray, ref: jnp.ndarray, u3: jnp.ndarray
 ) -> EmitterSample:
-    """Sample all emitter types branchlessly; select by `em_id`'s type."""
+    """Sample all emitter types branchlessly; select by `em_id`'s type.
+
+    `u3` is [N,3]: surface/direction emitters use the first two components;
+    volume emitters consume all three (volumelight.cpp:58-60 draws an extra
+    1D sample for the third bbox axis).
+    """
     em = scene.emitters
     eid = jnp.maximum(em_id, 0)
     etype = em.type[eid]
     n_lanes = ref.shape[0]
+    u2 = u3[..., :2]
 
     # ---- area (arealight.cpp:75-101) + shared shape sampling
     p_surf, n_surf, inv_area = _sample_shape_surface(scene, eid, u2)
@@ -162,7 +168,30 @@ def sample_emitter(
     wi_env, pdf_env, rad_env = envmap_ops.sample_dir(scene.envmap, scene.envmap_pick, u2)
     val_env = rad_env / jnp.maximum(pdf_env, 1e-20)[..., None]
 
-    is_area = (etype == EmitterType.AREA) | (etype == EmitterType.VOLUME)
+    # ---- volume emitter (volumelight.cpp:52-77 via Shape::sampleVolume):
+    # bbox-uniform point for meshes (shape.cpp:97-101), exact uniform ball
+    # for spheres (sphere.cpp:139-143); pdf = (1/volume)·dist²
+    p_box = em.bbox_min[eid] + em.bbox_extent[eid] * u3
+    sid_v = jnp.maximum(em.sphere_id[eid], 0)
+    if scene.geometry.sph_center.shape[0] > 0:
+        p_ball = (
+            scene.geometry.sph_center[sid_v]
+            + scene.geometry.sph_radius[sid_v][..., None]
+            * warp.square_to_uniform_sphere_volume(u3)
+        )
+    else:
+        p_ball = p_box
+    is_sph_vol = em.geom_kind[eid] == EmitterGeom.SPHERE
+    p_vol = jnp.where(is_sph_vol[..., None], p_ball, p_box)
+    to_v = p_vol - ref
+    dist2_vol = jnp.maximum(squared_norm(to_v), 1e-20)
+    dist_vol = jnp.sqrt(dist2_vol)
+    wi_vol = to_v / dist_vol[..., None]
+    pdf_vol = dist2_vol / jnp.maximum(em.volume[eid], 1e-20)
+    val_vol = em.radiance[eid] / jnp.maximum(pdf_vol, 1e-12)[..., None]
+
+    is_area = etype == EmitterType.AREA
+    is_vol = etype == EmitterType.VOLUME
     is_point = etype == EmitterType.POINT
     is_spot = etype == EmitterType.SPOT
     is_dir = etype == EmitterType.DIRECTIONAL
@@ -175,19 +204,36 @@ def sample_emitter(
         jnp.where(
             is_delta[..., None],
             wi_pt,
-            jnp.where(is_dir[..., None], wi_dir, wi_env),
+            jnp.where(
+                is_dir[..., None],
+                wi_dir,
+                jnp.where(is_vol[..., None], wi_vol, wi_env),
+            ),
         ),
     )
     p = jnp.where(
         is_area[..., None],
         p_surf,
-        jnp.where(is_delta[..., None], em.position[eid], ref + wi * 1e8),
+        jnp.where(
+            is_delta[..., None],
+            em.position[eid],
+            jnp.where(is_vol[..., None], p_vol, ref + wi * 1e8),
+        ),
     )
-    nrm = jnp.where(is_area[..., None], n_surf, jnp.zeros((n_lanes, 3)))
+    # volumelight.cpp:64: n = -wi (no meaningful normal inside a volume)
+    nrm = jnp.where(
+        is_area[..., None],
+        n_surf,
+        jnp.where(is_vol[..., None], -wi_vol, jnp.zeros((n_lanes, 3))),
+    )
     pdf = jnp.where(
         is_area,
         pdf_area,
-        jnp.where(is_delta, 1.0, jnp.where(is_dir, pdf_dir, pdf_env)),
+        jnp.where(
+            is_delta,
+            1.0,
+            jnp.where(is_dir, pdf_dir, jnp.where(is_vol, pdf_vol, pdf_env)),
+        ),
     )
     value = jnp.where(
         is_area[..., None],
@@ -198,13 +244,18 @@ def sample_emitter(
             jnp.where(
                 is_spot[..., None],
                 val_spot,
-                jnp.where(is_dir[..., None], val_dir, val_env),
+                jnp.where(
+                    is_dir[..., None],
+                    val_dir,
+                    jnp.where(is_vol[..., None], val_vol, val_env),
+                ),
             ),
         ),
     )
     shadow_maxt = jnp.where(
-        is_area | is_delta,
-        jnp.where(is_area, dist_area, dist_pt) - EPSILON,
+        is_area | is_delta | is_vol,
+        jnp.where(is_area, dist_area, jnp.where(is_vol, dist_vol, dist_pt))
+        - EPSILON,
         jnp.float32(jnp.inf),
     )
     return EmitterSample(
@@ -247,6 +298,18 @@ def pdf_hit_emitter(
         cos_e > 0.0, inv_area * dist2 / jnp.maximum(jnp.abs(cos_e), 1e-12), 0.0
     )
     return jnp.where((etype == EmitterType.AREA) & (em_id >= 0), pdf_area, 0.0)
+
+
+def pdf_volume_emitter(
+    scene: SceneData, em_id: jnp.ndarray, ref: jnp.ndarray, p: jnp.ndarray
+) -> jnp.ndarray:
+    """Solid-angle pdf of `sample_emitter` producing volume point `p` from
+    `ref` for a VOLUME emitter (volumelight.cpp:73-77: pdfVolume·dist²)."""
+    em = scene.emitters
+    eid = jnp.maximum(em_id, 0)
+    dist2 = squared_norm(p - ref)
+    pdf = dist2 / jnp.maximum(em.volume[eid], 1e-20)
+    return jnp.where((em.type[eid] == EmitterType.VOLUME) & (em_id >= 0), pdf, 0.0)
 
 
 def pdf_envmap_direction(scene: SceneData, d: jnp.ndarray) -> jnp.ndarray:

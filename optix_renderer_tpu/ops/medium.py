@@ -131,10 +131,17 @@ def sample_interaction(media: Media, med_id, s, ro, rd, t_surface):
     """Free-path sample in the lane's current medium, homog or heterog.
 
     Returns (sampler, is_medium [N], t_event [N], w_medium [N,3],
-    w_surface [N,3]). Homogeneous lanes use the analytic channel-uniform
-    estimator above; heterogeneous lanes run delta tracking
+    w_surface [N,3], w_emission [N,3]). Homogeneous lanes use the analytic
+    channel-uniform estimator above; heterogeneous lanes run delta tracking
     (ops/volume_grid.py) with w_medium = σs/max_c(σt) and w_surface = 1
     (delta tracking *is* the transmittance estimator).
+
+    `w_emission` is the *emission* event weight Tr/pdf_t — the MC estimator
+    of ∫Tr(t)·ε(x(t))dt for an emissive field ε, evaluated at the sampled
+    event. Homogeneous: e^{−μt t}/pdf_t; heterogeneous: 1/(ρ(x)·max_c σt)
+    (the null-collision factors cancel). Multiply by ε(x_event) to get the
+    per-event emitted-radiance contribution (path_vol_mis.cpp:146-172 MATS
+    medium-emission analog, made unbiased).
     """
     from optix_renderer_tpu.ops import volume_grid as vg
     from optix_renderer_tpu.render import sampler as smp
@@ -144,20 +151,67 @@ def sample_interaction(media: Media, med_id, s, ro, rd, t_surface):
     t_med_h = sample_free_path(media, med_id, u_ch, u_d)
     is_med_h, w_m_h, w_s_h = free_path_weights(media, med_id, t_med_h, t_surface)
 
+    mt = mu_t(media, med_id)
+    tm = jnp.where(jnp.isfinite(t_med_h), t_med_h, 0.0)
+    tr_m = jnp.exp(-mt * tm[..., None])
+    pdf_m = jnp.mean(mt * tr_m, axis=-1)
+    w_e_h = tr_m / jnp.maximum(pdf_m, 1e-20)[..., None]
+
     if not vg.has_volumes(media):
-        return s, is_med_h, t_med_h, w_m_h, w_s_h
+        return s, is_med_h, t_med_h, w_m_h, w_s_h, w_e_h
 
     mid = jnp.maximum(med_id, 0)
     is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
     s, t_het = vg.delta_track(media, med_id, s, ro, rd, t_surface)
     st_max = jnp.max(media.sigma_a[mid] + media.sigma_s[mid], axis=-1)
     w_m_het = media.sigma_s[mid] / jnp.maximum(st_max, 1e-20)[..., None]
+    t_het_f = jnp.where(jnp.isfinite(t_het), t_het, 0.0)
+    rho = vg.density_at(media, med_id, ro + rd * t_het_f[..., None])
+    w_e_het = (
+        1.0 / jnp.maximum(rho * st_max, 1e-12)[..., None] * jnp.ones_like(w_m_het)
+    )
 
     is_medium = jnp.where(is_het, t_het < t_surface, is_med_h)
     t_event = jnp.where(is_het, t_het, t_med_h)
     w_medium = jnp.where(is_het[..., None], w_m_het, w_m_h)
     w_surface = jnp.where(is_het[..., None], 1.0, w_s_h)
-    return s, is_medium, t_event, w_medium, w_surface
+    w_emission = jnp.where(is_het[..., None], w_e_het, w_e_h)
+    return s, is_medium, t_event, w_medium, w_surface, w_emission
+
+
+def color_from_temperature(v: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Blackbody-style ramp (heterogmedium.cpp:37-44, NanoVDB
+    RenderFogVolumeUtils): r=v, g=v², b=v⁴ → scale·(r³, g³, b³)."""
+    r = v
+    g = r * r
+    b = g * g
+    rgb = jnp.stack([r**3, g**3, b**3], axis=-1)
+    return scale[..., None] * rgb
+
+
+def event_emission(media: Media, med_id, p: jnp.ndarray) -> jnp.ndarray:
+    """Emission field ε(x) [N,3] at a medium-event point.
+
+    Two sources, matching the reference's model:
+    - constant volume-emitter radiance is handled by the caller (it needs the
+      emitter table + MIS weight);
+    - temperature-driven emission for heterogeneous media:
+      ε(x) = σa·ρ(x)·colorFromTemperature(T(x), temperatureScale)
+      (emission ∝ absorption; the reference computes the ramp inside its
+      transmittance walk, heterogmedium.cpp:163-168, but discards the
+      accumulator — we integrate it unbiasedly via w_emission instead).
+    """
+    from optix_renderer_tpu.ops import volume_grid as vg
+
+    if not vg.has_volumes(media):
+        return jnp.zeros(p.shape)
+    mid = jnp.maximum(med_id, 0)
+    scale = media.temperature_scale[mid]
+    is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG) & (scale > 0.0)
+    temp = vg.temperature_at(media, med_id, p)
+    rho = vg.density_at(media, med_id, p)
+    eps = media.sigma_a[mid] * rho[..., None] * color_from_temperature(temp, scale)
+    return jnp.where(is_het[..., None], eps, 0.0)
 
 
 def transmittance_est(media: Media, med_id, s, o, d, dist):

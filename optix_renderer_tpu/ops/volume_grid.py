@@ -40,6 +40,17 @@ def density_at(media, med_id: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     differences are below typical tracking noise).
     """
     mid = jnp.maximum(med_id, 0)
+    d = _trilinear_at(media, med_id, p, media.vol_density)
+    return media.density_scale[mid] * d
+
+
+def temperature_at(media, med_id: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear temperature lookup (NvdbVolume::getTemperature analog)."""
+    return _trilinear_at(media, med_id, p, media.vol_temperature)
+
+
+def _trilinear_at(media, med_id: jnp.ndarray, p: jnp.ndarray, stack) -> jnp.ndarray:
+    mid = jnp.maximum(med_id, 0)
     vid = jnp.maximum(media.vol_id[mid], 0)
     bmin = media.vol_bbox_min[vid]
     bmax = media.vol_bbox_max[vid]
@@ -53,9 +64,9 @@ def density_at(media, med_id: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     w = f - f0
     i0 = f0.astype(jnp.int32)
 
-    D = media.vol_density.shape[1]
-    H = media.vol_density.shape[2]
-    W = media.vol_density.shape[3]
+    D = stack.shape[1]
+    H = stack.shape[2]
+    W = stack.shape[3]
 
     def fetch(iz, iy, ix):
         ok = (
@@ -66,7 +77,7 @@ def density_at(media, med_id: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
         izc = jnp.clip(iz, 0, D - 1)
         iyc = jnp.clip(iy, 0, H - 1)
         ixc = jnp.clip(ix, 0, W - 1)
-        v = media.vol_density[vid, izc, iyc, ixc]
+        v = stack[vid, izc, iyc, ixc]
         return jnp.where(ok, v, 0.0)
 
     iz, iy, ix = i0[..., 0], i0[..., 1], i0[..., 2]
@@ -82,7 +93,7 @@ def density_at(media, med_id: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
         + fetch(iz + 1, iy + 1, ix + 1) * wz * wy * wx
     )
     inside = jnp.all((p >= bmin) & (p <= bmax), axis=-1)
-    return jnp.where(inside, media.density_scale[mid] * d, 0.0)
+    return jnp.where(inside, d, 0.0)
 
 
 def _bbox_clip(o, d, bmin, bmax, tmin, tmax):

@@ -43,3 +43,10 @@ def next_1d(s: Sampler) -> tuple[Sampler, jnp.ndarray]:
 def next_2d(s: Sampler) -> tuple[Sampler, jnp.ndarray]:
     state, u = rng.pcg32_next_2d(s.state)
     return Sampler(state=state), u
+
+
+def next_3d(s: Sampler) -> tuple[Sampler, jnp.ndarray]:
+    """[N,3] uniforms — 2D + 1D (volumelight.cpp:58-60 sample layout)."""
+    state, u2 = rng.pcg32_next_2d(s.state)
+    state, u1 = rng.pcg32_next_float(state)
+    return Sampler(state=state), jnp.concatenate([u2, u1[..., None]], axis=-1)

@@ -50,6 +50,15 @@ def _j(x, dtype=jnp.float32):
     return jnp.asarray(np.asarray(x), dtype)
 
 
+def _col(rows, key, dtype=np.float32, width=None):
+    if not rows:
+        shape = (0,) if width is None else (0, width)
+        return _j(np.zeros(shape, dtype), jnp.int32 if dtype == np.int32 else jnp.float32)
+    vals = [r[key] for r in rows]
+    arr = np.stack(vals) if width else np.asarray(vals, dtype)
+    return _j(arr, jnp.int32 if dtype == np.int32 else jnp.float32)
+
+
 class _Builder:
     def __init__(self, root: SceneNode):
         if root.tag not in ("scene", "test"):
@@ -237,7 +246,6 @@ class _Builder:
             sigma_s=np.asarray(ss, np.float32),
             phase_type=PhaseType.ISO,
             phase_g=0.0,
-            emission=np.zeros(3, np.float32),
             emitter=-1,
             vol_id=-1,
             density_scale=1.0,
@@ -308,6 +316,9 @@ class _Builder:
             area=0.0,
             sphere_id=-1,
             light_prob=p.get_float("lightWeight", 1.0),
+            bbox_min=np.zeros(3, np.float32),
+            bbox_extent=np.ones(3, np.float32),
+            volume=1.0,
             medium=medium_id,
         )
         t = node.type
@@ -450,6 +461,48 @@ class _Builder:
         self.tri_shape.append(np.full(len(F), shape_id, np.int32))
         self.tri_count += len(F)
 
+    def bsdf_texture_tables(self) -> tuple[Bsdfs, Textures]:
+        """Finish the BSDF + texture tables (shared by full scene builds and
+        standalone BSDF tables for ttest/chi2test scene objects)."""
+        col = _col
+        if not self.bsdf_rows:
+            self.build_bsdf(None)
+        bsdfs = Bsdfs(
+            type=col(self.bsdf_rows, "type", np.int32),
+            albedo_tex=col(self.bsdf_rows, "albedo_tex", np.int32),
+            int_ior=col(self.bsdf_rows, "int_ior"),
+            ext_ior=col(self.bsdf_rows, "ext_ior"),
+            alpha=col(self.bsdf_rows, "alpha"),
+            kd=col(self.bsdf_rows, "kd", width=3),
+            ks=col(self.bsdf_rows, "ks"),
+            disney=col(self.bsdf_rows, "disney", width=10),
+        )
+
+        if not self.tex_rows:
+            self.add_const_texture([0.5, 0.5, 0.5])
+        if self.images:
+            hmax = max(im.shape[0] for im in self.images)
+            wmax = max(im.shape[1] for im in self.images)
+            image_data = np.zeros((len(self.images), hmax, wmax, 3), np.float32)
+            image_hw = np.zeros((len(self.images), 2), np.int32)
+            for i, im in enumerate(self.images):
+                image_data[i, : im.shape[0], : im.shape[1]] = im
+                image_hw[i] = im.shape[:2]
+        else:
+            image_data = np.zeros((1, 1, 1, 3), np.float32)
+            image_hw = np.ones((1, 2), np.int32)
+        textures = Textures(
+            type=col(self.tex_rows, "type", np.int32),
+            value=col(self.tex_rows, "value", width=3),
+            value2=col(self.tex_rows, "value2", width=3),
+            scale_uv=col(self.tex_rows, "scale_uv", width=2),
+            shift_uv=col(self.tex_rows, "shift_uv", width=2),
+            image_id=col(self.tex_rows, "image_id", np.int32),
+            image_data=_j(image_data),
+            image_hw=_j(image_hw, jnp.int32),
+        )
+        return bsdfs, textures
+
     # -- top level ---------------------------------------------------------
 
     def build(self) -> tuple[SceneData, RenderConfig, dict]:
@@ -496,6 +549,9 @@ class _Builder:
                     area=0.0,
                     sphere_id=-1,
                     light_prob=1.0,
+                    bbox_min=np.zeros(3, np.float32),
+                    bbox_extent=np.ones(3, np.float32),
+                    volume=1.0,
                     medium=-1,
                 )
             )
@@ -596,13 +652,51 @@ class _Builder:
                         area=4.0 * math.pi * r * r,
                     )
 
-        def col(rows, key, dtype=np.float32, width=None):
-            if not rows:
-                shape = (0,) if width is None else (0, width)
-                return _j(np.zeros(shape, dtype), jnp.int32 if dtype == np.int32 else jnp.float32)
-            vals = [r[key] for r in rows]
-            arr = np.stack(vals) if width else np.asarray(vals, dtype)
-            return _j(arr, jnp.int32 if dtype == np.int32 else jnp.float32)
+        # ---- volume-emitter tables (volumelight.cpp:47-79): resolve the
+        # governing shape (direct child, or the shape carrying the emitter's
+        # medium), then bbox/volume per Shape::sampleVolume semantics
+        # (shape.cpp:97-106 bbox-uniform, sphere.cpp:139-143 exact ball)
+        for row in self.em_rows:
+            if row["type"] != EmitterType.VOLUME:
+                continue
+            sid = row["shape"]
+            if sid < 0 and row.get("medium", -1) >= 0:
+                for si, srow in enumerate(self.shape_rows):
+                    if srow["interior_medium"] == row["medium"]:
+                        sid = si
+                        break
+            if sid < 0:
+                raise SceneBuildError(
+                    "volumelight requires a shape with an attached medium "
+                    "(volumelight.cpp:21-22)"
+                )
+            row["shape"] = sid
+            sph_idx = [i for i, sp in enumerate(self.spheres) if sp[2] == sid]
+            if sph_idx:
+                i = sph_idx[0]
+                c, r = self.spheres[i][0], self.spheres[i][1]
+                row.update(
+                    geom_kind=EmitterGeom.SPHERE,
+                    sphere_id=i,
+                    bbox_min=np.asarray(c - r, np.float32),
+                    bbox_extent=np.full(3, 2.0 * r, np.float32),
+                    volume=4.0 / 3.0 * math.pi * r**3,
+                )
+            else:
+                mask = tri_shape == sid
+                if not mask.any():
+                    raise SceneBuildError("volumelight shape has no geometry")
+                pts = np.concatenate([tri_v0[mask], tri_v1[mask], tri_v2[mask]], 0)
+                bmin = pts.min(axis=0)
+                bmax = pts.max(axis=0)
+                row.update(
+                    geom_kind=EmitterGeom.MESH,
+                    bbox_min=bmin.astype(np.float32),
+                    bbox_extent=(bmax - bmin).astype(np.float32),
+                    volume=float(np.prod(np.maximum(bmax - bmin, 1e-20))),
+                )
+
+        col = _col
 
         emitters = Emitters(
             type=col(self.em_rows, "type", np.int32),
@@ -621,6 +715,9 @@ class _Builder:
             area=col(self.em_rows, "area"),
             sphere_id=col(self.em_rows, "sphere_id", np.int32),
             light_prob=col(self.em_rows, "light_prob"),
+            bbox_min=col(self.em_rows, "bbox_min", width=3),
+            bbox_extent=col(self.em_rows, "bbox_extent", width=3),
+            volume=col(self.em_rows, "volume"),
         )
 
         # emitter-pick DPDF over lightProb (scene.cpp:179-184)
@@ -642,42 +739,7 @@ class _Builder:
             normal_tex=col(self.shape_rows, "normal_tex", np.int32),
         )
 
-        if not self.bsdf_rows:
-            self.build_bsdf(None)
-        bsdfs = Bsdfs(
-            type=col(self.bsdf_rows, "type", np.int32),
-            albedo_tex=col(self.bsdf_rows, "albedo_tex", np.int32),
-            int_ior=col(self.bsdf_rows, "int_ior"),
-            ext_ior=col(self.bsdf_rows, "ext_ior"),
-            alpha=col(self.bsdf_rows, "alpha"),
-            kd=col(self.bsdf_rows, "kd", width=3),
-            ks=col(self.bsdf_rows, "ks"),
-            disney=col(self.bsdf_rows, "disney", width=10),
-        )
-
-        if not self.tex_rows:
-            self.add_const_texture([0.5, 0.5, 0.5])
-        if self.images:
-            hmax = max(im.shape[0] for im in self.images)
-            wmax = max(im.shape[1] for im in self.images)
-            image_data = np.zeros((len(self.images), hmax, wmax, 3), np.float32)
-            image_hw = np.zeros((len(self.images), 2), np.int32)
-            for i, im in enumerate(self.images):
-                image_data[i, : im.shape[0], : im.shape[1]] = im
-                image_hw[i] = im.shape[:2]
-        else:
-            image_data = np.zeros((1, 1, 1, 3), np.float32)
-            image_hw = np.ones((1, 2), np.int32)
-        textures = Textures(
-            type=col(self.tex_rows, "type", np.int32),
-            value=col(self.tex_rows, "value", width=3),
-            value2=col(self.tex_rows, "value2", width=3),
-            scale_uv=col(self.tex_rows, "scale_uv", width=2),
-            shift_uv=col(self.tex_rows, "shift_uv", width=2),
-            image_id=col(self.tex_rows, "image_id", np.int32),
-            image_data=_j(image_data),
-            image_hw=_j(image_hw, jnp.int32),
-        )
+        bsdfs, textures = self.bsdf_texture_tables()
 
         if not self.med_rows:
             # default vacuum (scene.cpp cloneAndInit instantiates one)
@@ -688,8 +750,7 @@ class _Builder:
                     sigma_s=np.zeros(3, np.float32),
                     phase_type=PhaseType.ISO,
                     phase_g=0.0,
-                    emission=np.zeros(3, np.float32),
-                    emitter=-1,
+                            emitter=-1,
                     vol_id=-1,
                     density_scale=1.0,
                     temperature_scale=0.0,
@@ -730,7 +791,6 @@ class _Builder:
             sigma_s=col(self.med_rows, "sigma_s", width=3),
             phase_type=col(self.med_rows, "phase_type", np.int32),
             phase_g=col(self.med_rows, "phase_g"),
-            emission=col(self.med_rows, "emission", width=3),
             emitter=col(self.med_rows, "emitter", np.int32),
             vol_id=col(self.med_rows, "vol_id", np.int32),
             density_scale=col(self.med_rows, "density_scale"),
@@ -838,3 +898,14 @@ def load_scene(filename) -> tuple[SceneData, RenderConfig, dict]:
     """XML file → (SceneData, RenderConfig, extras). The `loadScene` analog
     (render.cpp:118-178) minus thread management (renders are explicit calls)."""
     return build_scene(load_from_xml(filename))
+
+
+def build_bsdf_table(nodes, origin="."):
+    """Standalone BSDF table from a list of <bsdf> SceneNodes — used by the
+    ttest/chi2test runners (ttest.cpp:128-134, chi2test.cpp:118-124 addChild).
+    Returns (Bsdfs, Textures); row i corresponds to nodes[i]."""
+    root = SceneNode(tag="scene", type="", origin=str(origin))
+    b = _Builder(root)
+    for n in nodes:
+        b.build_bsdf(n)
+    return b.bsdf_texture_tables()

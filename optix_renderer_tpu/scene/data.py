@@ -170,6 +170,12 @@ class Emitters(NamedTuple):
     area: jnp.ndarray  # [E] total surface area (or sphere area)
     sphere_id: jnp.ndarray  # [E] global sphere index for sphere-shaped emitters
     light_prob: jnp.ndarray  # [E] emitter-pick weight (emitter.h:151)
+    # volume-emitter sampling tables (volumelight.cpp:47-79 via
+    # Shape::sampleVolume, shape.cpp:97-106: bbox-uniform for meshes,
+    # exact ball for spheres; pdf = 1/volume)
+    bbox_min: jnp.ndarray  # [E,3] attached-shape bbox
+    bbox_extent: jnp.ndarray  # [E,3]
+    volume: jnp.ndarray  # [E] shape volume (bbox volume / (4/3)πr³)
 
 
 class Media(NamedTuple):
@@ -187,7 +193,6 @@ class Media(NamedTuple):
     sigma_s: jnp.ndarray  # [M,3]
     phase_type: jnp.ndarray  # [M] int32 PhaseType
     phase_g: jnp.ndarray  # [M] HG g / Schlick k
-    emission: jnp.ndarray  # [M,3] volumetric emission radiance
     emitter: jnp.ndarray  # [M] emitter id or -1 (volume emitter attachment)
     # heterogeneous-medium fields (heterogmedium.cpp:47-51 params)
     vol_id: jnp.ndarray  # [M] int32 index into the volume stack or -1

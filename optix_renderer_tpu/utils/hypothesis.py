@@ -19,13 +19,17 @@ def chi2_merge_and_test(
     min_exp_frequency: float = 5.0,
     significance: float = 0.01,
     dof_adjustment: int = 0,
+    num_tests: int = 1,
 ) -> tuple[bool, str]:
     """χ² test with low-expected-count cell pooling.
 
     Mirrors `hypothesis::chi2_test` semantics used by chi2test.cpp:131+:
     cells with expected count < min_exp_frequency are pooled (largest-first)
-    before computing the statistic.
+    before computing the statistic; `num_tests` applies the Šidák correction
+    for a battery of tests (ext/hypothesis significance adjustment).
     """
+    if num_tests > 1:
+        significance = 1.0 - (1.0 - significance) ** (1.0 / num_tests)
     obs = np.asarray(observed, np.float64).ravel()
     exp = np.asarray(expected, np.float64).ravel()
 
@@ -65,11 +69,20 @@ def students_t_test(
     n: int,
     reference: float,
     significance: float = 0.01,
+    num_tests: int = 1,
 ) -> tuple[bool, str]:
-    """Two-sided one-sample t-test, as in hypothesis/ttest.cpp:157-189."""
+    """Two-sided one-sample t-test, as in hypothesis/ttest.cpp:157-189;
+    `num_tests` applies the Šidák battery correction."""
+    if num_tests > 1:
+        significance = 1.0 - (1.0 - significance) ** (1.0 / num_tests)
+    # float32 quantization floor: a constant estimator (e.g. furnace scenes,
+    # where every sample is the identical value) has variance ~0 and any
+    # rounding of the mean explodes the t statistic; means within f32 eps of
+    # the reference are equal by construction
+    if abs(mean - reference) <= 1e-5 * max(1.0, abs(reference)):
+        return True, f"exact (within f32 eps) mean={mean:.6f} ref={reference:.6f}"
     if variance <= 0:
-        ok = abs(mean - reference) < 1e-6
-        return ok, f"zero-variance mean={mean} ref={reference}"
+        return False, f"zero-variance mean={mean} ref={reference}"
     t = (mean - reference) / np.sqrt(variance / n)
     pval = 2.0 * stats.t.sf(abs(t), n - 1)
     ok = bool(pval > significance)

@@ -26,8 +26,16 @@ def test_transmittance_exact():
         sigma_s=jnp.array([[0.25, 0.0, 0.1]]),
         phase_type=jnp.array([PhaseType.ISO]),
         phase_g=jnp.array([0.0]),
-        emission=jnp.zeros((1, 3)),
         emitter=jnp.array([-1]),
+        vol_id=jnp.array([-1]),
+        density_scale=jnp.ones(1),
+        temperature_scale=jnp.zeros(1),
+        vol_density=jnp.zeros((0, 1, 1, 1)),
+        vol_temperature=jnp.zeros((0, 1, 1, 1)),
+        vol_dims=jnp.zeros((0, 3), jnp.int32),
+        vol_bbox_min=jnp.zeros((0, 3)),
+        vol_bbox_max=jnp.zeros((0, 3)),
+        vol_majorant=jnp.zeros(0),
     )
     tr = M.transmittance(media, jnp.array([0]), jnp.array([2.0]))
     np.testing.assert_allclose(
