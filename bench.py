@@ -1,11 +1,18 @@
-"""Benchmark: Cornell-box path-MIS throughput on the available accelerator.
+"""Benchmark suite on the available accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the headline metric (Cornell path-MIS throughput)
+and writes the full multi-config table to BENCH_DETAILS.json:
 
-Baseline (BASELINE.md): the reference CPU renderer achieves ≈1.6 Mpaths/s on
-its 800×600 Cornell-box path-MIS ground-truth render (1024 spp in ~5 min,
-reports/project-report/denoising.html). We measure camera paths per second on
-the same workload shape (800×600, path_mis, RR + NEE + MIS) on one chip.
+- cornell_path_mis:   800×600 brute-force Cornell (BASELINE.md headline;
+                      reference CPU ≈ 1.6 Mpaths/s)
+- mesh100k_path_mis:  800×600 Cornell with ~100k-triangle tessellated spheres
+                      (LBVH traversal path)
+- mesh100k_primary:   primary-ray closest-hit rate through the LBVH (Mrays/s)
+- heterog_path_vol:   the reference flagship heterogeneous-media scene
+                      (fluid_data_0050.vdb, path_vol_mats)
+
+All renders use the fused accumulate step (render_round_accumulate) — the
+production path. Throughput counts camera paths (pixels × spp) per second.
 """
 
 from __future__ import annotations
@@ -13,56 +20,124 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from optix_renderer_tpu.render.render import render_round
-from optix_renderer_tpu.scene.presets import make_cornell_box
+BASELINE_MPATHS = 1.6  # reference CPU Cornell path-MIS, BASELINE.md
 
-BASELINE_MPATHS = 1.6  # reference CPU, BASELINE.md
+
+def _run(scene, config, spp: int) -> float:
+    """Render spp samples with the production loop; returns Mpaths/s."""
+    from optix_renderer_tpu.render.render import render_round_accumulate, preprocess
+
+    scene = preprocess(scene, config)
+    w, h = config.width, config.height
+    n_pix = w * h
+    chunk = min(1 << 19, n_pix)
+    n_chunks = (n_pix + chunk - 1) // chunk
+    pad = n_chunks * chunk - n_pix
+    ids = np.concatenate(
+        [np.arange(n_pix, dtype=np.int32), np.full(pad, -(1 << 20), np.int32)]
+    ).reshape(n_chunks, chunk)
+    ids = jnp.asarray(ids)
+
+    acc = jnp.zeros((3, h, w, 4), jnp.float32)
+    # warmup / compile
+    acc = render_round_accumulate(acc, scene, config, ids[0], jnp.int32(0))
+    acc.block_until_ready()
+
+    t0 = time.time()
+    for s in range(spp):
+        for c in range(n_chunks):
+            acc = render_round_accumulate(acc, scene, config, ids[c], jnp.int32(s + 1))
+    acc.block_until_ready()
+    dt = time.time() - t0
+    return n_pix * spp / dt / 1e6
+
+
+def bench_cornell() -> float:
+    from optix_renderer_tpu.scene.presets import make_cornell_box
+
+    scene, config, _ = make_cornell_box(width=800, height=600, spp=1,
+                                        integrator="path_mis")
+    config = dataclasses.replace(config, max_depth=16)
+    return _run(scene, config, spp=16)
+
+
+def bench_mesh100k():
+    from optix_renderer_tpu.scene.presets import make_tessellated_cornell
+
+    scene, config, _ = make_tessellated_cornell(width=800, height=600, spp=1,
+                                                integrator="path_mis")
+    config = dataclasses.replace(config, max_depth=16)
+    mpaths = _run(scene, config, spp=4)
+
+    # primary-ray closest-hit rate through the LBVH
+    from functools import partial
+
+    from optix_renderer_tpu.ops import camera as camera_ops
+    from optix_renderer_tpu.ops.intersect import intersect
+    from optix_renderer_tpu.render import sampler as smp
+
+    n = 1 << 18
+
+    @partial(jax.jit, static_argnames=())
+    def primaries(scene, ids, salt):
+        px = (ids % 800).astype(jnp.float32)
+        py = (ids // 800).astype(jnp.float32)
+        s = smp.make_sampler(ids.astype(jnp.uint32), salt.astype(jnp.uint32))
+        s, j2 = smp.next_2d(s)
+        pos = jnp.stack([px, py], -1) + j2
+        ray, _ = camera_ops.sample_ray(scene.camera, 800, 600, pos, j2)
+        hit = intersect(scene.geometry, ray)
+        return hit.t.sum() + hit.prim_id.sum()
+
+    ids = jnp.arange(n, dtype=jnp.int32) % (800 * 600)
+    primaries(scene, ids, jnp.uint32(0)).block_until_ready()
+    reps = 50
+    t0 = time.time()
+    outs = [primaries(scene, ids, jnp.uint32(i)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    mrays = n * reps / (time.time() - t0) / 1e6
+    return mpaths, mrays, int(scene.geometry.tri_v0.shape[0])
+
+
+def bench_heterog() -> float | None:
+    xml = Path("/root/reference/scenes/project/volume/cbox_heterog.xml")
+    if not xml.exists():
+        return None
+    from optix_renderer_tpu.scene.build import load_scene
+
+    scene, config, _ = load_scene(xml)
+    config = dataclasses.replace(config, width=800, height=600, max_depth=16)
+    return _run(scene, config, spp=4)
 
 
 def main():
-    width, height = 800, 600
-    scene, config, _ = make_cornell_box(
-        width=width, height=height, spp=1, integrator="path_mis"
-    )
-    config = dataclasses.replace(config, max_depth=16)
+    results = {}
+    cornell = bench_cornell()
+    results["cornell_path_mis"] = {"value": round(cornell, 2), "unit": "Mpaths/s"}
+    mesh_mpaths, mesh_mrays, n_tris = bench_mesh100k()
+    results["mesh100k_path_mis"] = {
+        "value": round(mesh_mpaths, 2), "unit": "Mpaths/s", "tris": n_tris,
+    }
+    results["mesh100k_primary"] = {"value": round(mesh_mrays, 1), "unit": "Mrays/s"}
+    het = bench_heterog()
+    if het is not None:
+        results["heterog_path_vol"] = {"value": round(het, 2), "unit": "Mpaths/s"}
+    results["device"] = str(jax.devices()[0])
 
-    n_pix = width * height
-    chunk = 1 << 16
-    n_chunks = (n_pix + chunk - 1) // chunk
-    pad = n_chunks * chunk - n_pix
-    ids_all = jnp.concatenate(
-        [
-            jnp.arange(n_pix, dtype=jnp.int32),
-            jnp.full((pad,), -(1 << 20), jnp.int32),
-        ]
-    ).reshape(n_chunks, chunk)
-
-    # warmup / compile
-    render_round(scene, config, ids_all[0], jnp.int32(0)).block_until_ready()
-
-    spp = 8
-    t0 = time.time()
-    acc = None
-    for s in range(spp):
-        for c in range(n_chunks):
-            out = render_round(scene, config, ids_all[c], jnp.int32(s))
-            acc = out if acc is None else acc + out
-    acc.block_until_ready()
-    dt = time.time() - t0
-
-    paths = n_pix * spp
-    mpaths_per_s = paths / dt / 1e6
+    Path("BENCH_DETAILS.json").write_text(json.dumps(results, indent=1))
     print(
         json.dumps(
             {
                 "metric": "cornell_path_mis_throughput",
-                "value": round(mpaths_per_s, 3),
+                "value": round(cornell, 3),
                 "unit": "Mpaths/s",
-                "vs_baseline": round(mpaths_per_s / BASELINE_MPATHS, 2),
+                "vs_baseline": round(cornell / BASELINE_MPATHS, 2),
             }
         )
     )

