@@ -65,7 +65,25 @@ def cmd_render(args) -> int:
     else:
         from optix_renderer_tpu.render.render import render
 
-        out = render(scene, config, verbose=args.verbose)
+        preview_cb = None
+        if args.preview_every:
+            # progressive preview: periodic partial-film PNG (the GL display
+            # path of ImguiScreen.cpp:252-316 as a file-based live view)
+            def preview_cb(layers, spp_done):
+                iio.write_png(str(out_base) + "_preview.png", layers["composite"])
+                if args.verbose:
+                    print(f"  preview @ {spp_done}spp → {out_base}_preview.png")
+
+        out = render(
+            scene,
+            config,
+            verbose=args.verbose,
+            preview_every=args.preview_every,
+            preview_callback=preview_cb,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+        )
     dt = time.time() - t0
 
     exr_path = out_base.with_suffix(".exr")
@@ -78,18 +96,32 @@ def cmd_render(args) -> int:
             var[..., None].repeat(3, axis=-1),
         )
     if args.denoise:
-        from optix_renderer_tpu.denoise.bilateral import denoise_bilateral
-        from optix_renderer_tpu.render.variance import variance_from_image
         import numpy as np
         import jax.numpy as jnp
 
-        film = np.concatenate(
-            [out["composite"], out["weights"][..., None]], axis=-1
-        )
-        den = denoise_bilateral(
-            jnp.asarray(out["composite"]),
-            jnp.asarray(variance_from_image(jnp.asarray(film))),
-        )
+        if args.denoise == "learned":
+            # OptiX-AI-denoiser replacement (OptixState.denoiser.cpp:15-152):
+            # RGB+albedo+normal in → RGB out, params from a trained checkpoint
+            from optix_renderer_tpu.denoise import learned
+
+            params = learned.load_checkpoint(args.denoiser_ckpt)
+            den = learned.apply(
+                params,
+                jnp.asarray(out["composite"]),
+                jnp.asarray(out["albedo"]),
+                jnp.asarray(out["normal"]),
+            )
+        else:
+            from optix_renderer_tpu.denoise.bilateral import denoise_bilateral
+            from optix_renderer_tpu.render.variance import variance_from_image
+
+            film = np.concatenate(
+                [out["composite"], out["weights"][..., None]], axis=-1
+            )
+            den = denoise_bilateral(
+                jnp.asarray(out["composite"]),
+                jnp.asarray(variance_from_image(jnp.asarray(film))),
+            )
         iio.write_exr(str(out_base) + "_denoised.exr", np.asarray(den))
         iio.write_png(str(out_base) + "_denoised.png", np.asarray(den))
 
@@ -97,6 +129,33 @@ def cmd_render(args) -> int:
     print(
         f"Done in {dt:.1f}s ({n_paths / dt / 1e6:.2f} Mpaths/s) → {exr_path}"
     )
+    return 0
+
+
+def cmd_train_denoiser(args) -> int:
+    """Train the learned denoiser on self-rendered noisy/clean pairs
+    (Phase-5 deliverable; replaces OptixState.denoiser.cpp's pretrained
+    OptiX model with a checkpoint we own)."""
+    from optix_renderer_tpu.denoise import learned
+    from optix_renderer_tpu.scene.presets import make_cornell_box
+
+    if args.scene:
+        from optix_renderer_tpu.scene.build import build_scene
+        from optix_renderer_tpu.scene.parser import load_from_xml
+
+        scene, config, _ = build_scene(load_from_xml(args.scene))
+    else:
+        scene, config, _ = make_cornell_box(
+            width=args.size, height=args.size, spp=1
+        )
+    print("rendering training pairs…")
+    pairs = learned.render_training_pairs(
+        scene, config, spps=(2, 4), clean_spp=args.clean_spp
+    )
+    print(f"training on {len(pairs)} pairs, {args.steps} steps…")
+    params, losses = learned.train(pairs, steps=args.steps, verbose=True)
+    learned.save_checkpoint(args.output, params)
+    print(f"loss {losses[0]:.5f} → {losses[-1]:.5f}; saved {args.output}")
     return 0
 
 
@@ -156,10 +215,48 @@ def main(argv=None) -> int:
     pr.add_argument("--integrator", help="override integrator")
     pr.add_argument("--depth", type=int, help="max path depth")
     pr.add_argument("--sharded", action="store_true", help="use all devices")
-    pr.add_argument("--denoise", action="store_true", help="bilateral denoise pass")
+    pr.add_argument(
+        "--denoise",
+        nargs="?",
+        const="bilateral",
+        choices=["bilateral", "learned"],
+        default=None,
+        help="denoise pass: bilateral (simple.cpp) or learned (AI-denoiser analog)",
+    )
+    pr.add_argument(
+        "--denoiser-ckpt",
+        default="denoiser.npz",
+        help="checkpoint for --denoise=learned",
+    )
     pr.add_argument("--no-adaptive", action="store_true")
+    pr.add_argument(
+        "--preview-every", type=int, default=0, metavar="K",
+        help="write a progressive preview PNG every K sample rounds",
+    )
+    pr.add_argument(
+        "--checkpoint", metavar="PATH",
+        help="accumulator snapshot path (also written on SIGINT at a round boundary)",
+    )
+    pr.add_argument(
+        "--checkpoint-every", type=int, default=8, metavar="K",
+        help="snapshot every K sample rounds (with --checkpoint)",
+    )
+    pr.add_argument(
+        "--resume", action="store_true",
+        help="continue from --checkpoint if it exists",
+    )
     pr.add_argument("-v", "--verbose", action="store_true")
     pr.set_defaults(fn=cmd_render)
+
+    pd = sub.add_parser(
+        "train-denoiser", help="train the learned denoiser on self-rendered pairs"
+    )
+    pd.add_argument("--scene", help="scene XML (default: built-in Cornell box)")
+    pd.add_argument("-o", "--output", default="denoiser.npz")
+    pd.add_argument("--steps", type=int, default=300)
+    pd.add_argument("--size", type=int, default=128)
+    pd.add_argument("--clean-spp", type=int, default=256)
+    pd.set_defaults(fn=cmd_train_denoiser)
 
     pt = sub.add_parser("tonemap", help="EXR → PNG")
     pt.add_argument("files", nargs="+")

@@ -47,15 +47,25 @@ def trace(scene: SceneData, ray: Ray) -> ShadingCtx:
 
     n = its.n_s
     # tangent-space normal mapping (mesh.cpp:141-186): perturb n_s by the
-    # texture normal in a UV-aligned TBN; fall back to plain frame otherwise.
+    # texture normal in a UV-aligned TBN so tangent-space maps keep their
+    # authored orientation; triangles with a degenerate UV chart (and spheres)
+    # fall back to the Duff ONB.
     ntex = scene.shapes.normal_tex[sid]
-    frame = make_frame(n)
     has_nm = ntex >= 0
-    if True:  # cheap; only gathers when a normal map exists in the scene
-        tex_n = eval_texture(scene.textures, ntex, its.uv) * 2.0 - 1.0
-        pert = normalize(frame_to_world(frame, tex_n))
-        n2 = jnp.where((has_nm & its.valid)[..., None], pert, n)
-        frame = make_frame(normalize(n2))
+    fallback = make_frame(n)
+    t_proj = its.tang - n * dot(n, its.tang)[..., None]
+    has_tbn = jnp.sum(t_proj * t_proj, axis=-1) > 1e-12
+    t_hat = normalize(jnp.where(has_tbn[..., None], t_proj, fallback.s))
+    b_hat = jnp.cross(n, t_hat)
+    tbn = Frame(
+        s=jnp.where(has_tbn[..., None], t_hat, fallback.s),
+        t=jnp.where(has_tbn[..., None], b_hat, fallback.t),
+        n=n,
+    )
+    tex_n = eval_texture(scene.textures, ntex, its.uv) * 2.0 - 1.0
+    pert = normalize(frame_to_world(tbn, tex_n))
+    n2 = jnp.where((has_nm & its.valid)[..., None], pert, n)
+    frame = make_frame(normalize(n2))
 
     return ShadingCtx(its=its, frame=frame, bsdf_id=bsdf_id, emitter_id=emitter_id)
 

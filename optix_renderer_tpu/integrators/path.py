@@ -33,7 +33,15 @@ def li_path_mats(scene: SceneData, config: RenderConfig, ray: Ray, sampler):
 
     def body(carry, bounce):
         (ro, rd, t, L, active, albedo, normal, s) = carry
-        r = Ray(o=ro, d=rd, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, jnp.inf))
+        # first segment honours the camera's near/far clip (perspective.cpp:
+        # 10-31); subsequent bounces are [ε, ∞)
+        first_seg = bounce == 0
+        r = Ray(
+            o=ro,
+            d=rd,
+            mint=jnp.where(first_seg, ray.mint, jnp.full(n, EPSILON)),
+            maxt=jnp.where(first_seg, ray.maxt, jnp.full(n, jnp.inf)),
+        )
         ctx = common.trace(scene, r)
         hit = ctx.its.valid & active
 
@@ -98,7 +106,13 @@ def li_path_mis(scene: SceneData, config: RenderConfig, ray: Ray, sampler):
     def body(carry, bounce):
         (ro, rd, t, L, active, pdf_mats_prev, prev_discrete, w_mats_prev,
          albedo, normal, s) = carry
-        r = Ray(o=ro, d=rd, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, jnp.inf))
+        first_seg = bounce == 0
+        r = Ray(
+            o=ro,
+            d=rd,
+            mint=jnp.where(first_seg, ray.mint, jnp.full(n, EPSILON)),
+            maxt=jnp.where(first_seg, ray.maxt, jnp.full(n, jnp.inf)),
+        )
         ctx = common.trace(scene, r)
 
         # miss → envmap, MIS-weighted against the EMS envmap pdf. Deviation

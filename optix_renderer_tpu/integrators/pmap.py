@@ -28,7 +28,13 @@ def li_photonmapper(scene: SceneData, config: RenderConfig, ray: Ray, sampler):
 
     def body(carry, bounce):
         (ro, rd, t, L, active, albedo, normal, s) = carry
-        r = Ray(o=ro, d=rd, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, jnp.inf))
+        first_seg = bounce == 0
+        r = Ray(
+            o=ro,
+            d=rd,
+            mint=jnp.where(first_seg, ray.mint, jnp.full(n, EPSILON)),
+            maxt=jnp.where(first_seg, ray.maxt, jnp.full(n, jnp.inf)),
+        )
         ctx = common.trace(scene, r)
 
         # miss → envmap (photonmapper.cpp:170-180)

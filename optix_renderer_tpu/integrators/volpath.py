@@ -34,14 +34,13 @@ from optix_renderer_tpu.ops.intersect import intersect, make_interaction
 from optix_renderer_tpu.render import sampler as smp
 from optix_renderer_tpu.scene.data import RenderConfig, SceneData
 
-# bounded boundary crossings for shadow rays through media (traceShadowray's
-# while-loop, path_vol_mis.cpp:26-46): static unroll depth
-_SHADOW_SEGMENTS = 4
-
-
-def _shadow_transmittance(scene, s, p_from, wi, maxt, medium_id):
+def _shadow_transmittance(scene, s, p_from, wi, maxt, medium_id, n_segments=8):
     """Trace a shadow ray accumulating transmittance through pass-through
     boundaries; blocked when any hit carries a BSDF.
+
+    `n_segments` statically bounds the boundary crossings (traceShadowray's
+    unbounded while-loop, path_vol_mis.cpp:26-46) — configure via
+    RenderConfig.shadow_segments for deeply nested media.
 
     Returns (sampler, Tr): heterogeneous segments are estimated by ratio
     tracking, which consumes sampler state."""
@@ -51,7 +50,7 @@ def _shadow_transmittance(scene, s, p_from, wi, maxt, medium_id):
     o = p_from
     remaining = maxt
     med = medium_id
-    for _ in range(_SHADOW_SEGMENTS):
+    for _ in range(n_segments):
         ray = Ray(o=o, d=wi, mint=jnp.full(n, EPSILON), maxt=remaining)
         hit = intersect(scene.geometry, ray)
         its = make_interaction(scene.geometry, ray, hit)
@@ -72,9 +71,6 @@ def _shadow_transmittance(scene, s, p_from, wi, maxt, medium_id):
         )
         o = jnp.where(its.valid[..., None], its.p, o)
         remaining = jnp.where(its.valid, remaining - its.t, 0.0)
-        # lanes done: either blocked or no more hits
-        if _ == _SHADOW_SEGMENTS - 1:
-            break
     return s, jnp.where(blocked[..., None], 0.0, tr)
 
 
@@ -90,9 +86,15 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
         # origin, path_vol_mis.cpp:155-161, which biases MIS when a boundary
         # sits between the scatter vertex and the light).
         (ro, rd, t, L, active, med, pdf_mat, pdf_discrete, pv, albedo, normal, s) = carry
-        r = Ray(o=ro, d=rd, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, jnp.inf))
-        ctx = common.trace(scene, r)
         first = bounce == 0
+        # first segment honours the camera near/far clip (perspective.cpp:10-31)
+        r = Ray(
+            o=ro,
+            d=rd,
+            mint=jnp.where(first, ray.mint, jnp.full(n, EPSILON)),
+            maxt=jnp.where(first, ray.maxt, jnp.full(n, jnp.inf)),
+        )
+        ctx = common.trace(scene, r)
 
         # miss → env (MIS-weighted like path_mis), terminate
         pdf_env_dir = emitter_ops.pdf_envmap_direction(scene, rd) / float(n_lights)
@@ -237,7 +239,10 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
                     med,
                 ),
             )
-            s, tr = _shadow_transmittance(scene, s, p, es.wi, es.shadow_maxt, shadow_med)
+            s, tr = _shadow_transmittance(
+                scene, s, p, es.wi, es.shadow_maxt, shadow_med,
+                n_segments=config.shadow_segments,
+            )
 
             wi_local_surface = common.to_local(ctx, es.wi)
             f_surf = bsdf_ops.eval_bsdf(

@@ -27,6 +27,7 @@ from optix_renderer_tpu.core.math import (
     normalize,
 )
 from optix_renderer_tpu.ops import bvh as bvh_mod
+from optix_renderer_tpu.ops.pallas.mt_kernel import mt_closest_hit
 from optix_renderer_tpu.scene.data import Geometry
 
 # primitive kinds in hit records
@@ -34,7 +35,6 @@ PRIM_NONE = 0
 PRIM_TRI = 1
 PRIM_SPHERE = 2
 
-_TRI_CHUNK = 2048
 _SPH_CHUNK = 512
 
 
@@ -57,33 +57,10 @@ class Interaction(NamedTuple):
     n_s: jnp.ndarray  # shading normal
     n_g: jnp.ndarray  # geometric normal
     uv: jnp.ndarray  # [N,2]
+    tang: jnp.ndarray  # [N,3] UV tangent dp/du (zero → no UV chart)
     shape: jnp.ndarray  # [N] int32 shape id (-1 if miss)
     prim_kind: jnp.ndarray
     prim_id: jnp.ndarray
-
-
-def _ray_triangles(o, d, v0, e1, e2):
-    """Möller–Trumbore for one ray chunk against one triangle chunk.
-
-    o,d: [N,3]; v0,e1,e2: [T,3] → t,u,v,hit: [N,T].
-    Mirrors `Mesh::rayIntersect` (src/shapes/mesh.cpp) semantics: boundary
-    inclusive, no backface culling.
-    """
-    pvec = jnp.cross(d[:, None, :], e2[None, :, :])  # [N,T,3]
-    det = jnp.sum(e1[None, :, :] * pvec, axis=-1)  # [N,T]
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
-    tvec = o[:, None, :] - v0[None, :, :]  # [N,T,3]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])  # [N,T,3]
-    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
-    hit = (
-        (jnp.abs(det) > 1e-12)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-    )
-    return t, u, v, hit
 
 
 def _ray_spheres(o, d, center, radius):
@@ -144,47 +121,17 @@ def intersect(geom: Geometry, ray: Ray, any_hit: bool = False) -> Hit:
             v=bv,
         )
     elif n_tris > 0:
-        chunk = min(_TRI_CHUNK, n_tris)
-        pad = (-n_tris) % chunk
-        v0 = jnp.pad(geom.tri_v0, ((0, pad), (0, 0)))
-        e1 = jnp.pad(geom.tri_e1, ((0, pad), (0, 0)))
-        e2 = jnp.pad(geom.tri_e2, ((0, pad), (0, 0)), constant_values=0.0)
-        n_chunks = (n_tris + pad) // chunk
-        v0c = v0.reshape(n_chunks, chunk, 3)
-        e1c = e1.reshape(n_chunks, chunk, 3)
-        e2c = e2.reshape(n_chunks, chunk, 3)
-        pad_mask = (
-            jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk) < n_tris
+        # Pallas Möller–Trumbore megakernel on TPU (jnp sweep elsewhere and
+        # under grad); the min-reduction is fused — see ops/pallas/mt_kernel.
+        bt, bu, bv, idf = mt_closest_hit(
+            ray.o, ray.d, ray.mint, best.t,
+            geom.tri_v0, geom.tri_e1, geom.tri_e2,
         )
-
-        def tri_body(carry, inputs):
-            best_t, best_id, best_u, best_v, found = carry
-            v0i, e1i, e2i, maski, basei = inputs
-            t, u, v, h = _ray_triangles(ray.o, ray.d, v0i, e1i, e2i)
-            h = h & maski[None, :] & (t >= ray.mint[:, None]) & (t < best_t[:, None])
-            # argmin over chunk of masked t
-            t_masked = jnp.where(h, t, jnp.float32(3.4e38))
-            j = jnp.argmin(t_masked, axis=-1)
-            rows = jnp.arange(t.shape[0])
-            tj = t_masked[rows, j]
-            better = tj < best_t
-            best_t = jnp.where(better, tj, best_t)
-            best_id = jnp.where(better, basei + j.astype(jnp.int32), best_id)
-            best_u = jnp.where(better, u[rows, j], best_u)
-            best_v = jnp.where(better, v[rows, j], best_v)
-            found = found | better
-            return (best_t, best_id, best_u, best_v, found), None
-
-        base = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
-        (bt, bi, bu, bv, bf), _ = jax.lax.scan(
-            tri_body,
-            (best.t, best.prim_id, best.u, best.v, jnp.zeros(n, bool)),
-            (v0c, e1c, e2c, pad_mask, base),
-        )
+        bf = idf >= 0.0
         best = Hit(
             t=bt,
             prim_kind=jnp.where(bf, PRIM_TRI, best.prim_kind),
-            prim_id=bi,
+            prim_id=jnp.maximum(idf, 0.0).astype(jnp.int32),
             u=bu,
             v=bv,
         )
@@ -250,11 +197,13 @@ def make_interaction(geom: Geometry, ray: Ray, hit: Hit) -> Interaction:
             + geom.tri_uv1[tid] * hit.u[..., None]
             + geom.tri_uv2[tid] * hit.v[..., None]
         )
+        tang_tri = geom.tri_tang[tid]
         shape_tri = geom.tri_shape[tid]
     else:
         n_g_tri = jnp.zeros((n, 3), jnp.float32)
         n_s_tri = jnp.zeros((n, 3), jnp.float32)
         uv_tri = jnp.zeros((n, 2), jnp.float32)
+        tang_tri = jnp.zeros((n, 3), jnp.float32)
         shape_tri = jnp.zeros(n, jnp.int32)
 
     # --- sphere path
@@ -278,6 +227,7 @@ def make_interaction(geom: Geometry, ray: Ray, hit: Hit) -> Interaction:
     n_g = jnp.where(is_tri[..., None], n_g_tri, n_sph)
     n_s = jnp.where(is_tri[..., None], n_s_tri, n_sph)
     uv = jnp.where(is_tri[..., None], uv_tri, uv_sph)
+    tang = jnp.where(is_tri[..., None], tang_tri, 0.0)
     shape = jnp.where(is_tri, shape_tri, jnp.where(is_sph, shape_sph, -1))
 
     return Interaction(
@@ -287,6 +237,7 @@ def make_interaction(geom: Geometry, ray: Ray, hit: Hit) -> Interaction:
         n_s=n_s,
         n_g=n_g,
         uv=uv,
+        tang=tang,
         shape=shape.astype(jnp.int32),
         prim_kind=hit.prim_kind,
         prim_id=hit.prim_id,

@@ -106,20 +106,52 @@ def _hash_cells_np(c, table_size: int):
 # ---------------------------------------------------------------------------
 
 
-def sample_photon(scene, em_id, u2a, u2b):
+def _scene_bounding_sphere(scene):
+    """World bounding sphere (center [3], radius []) over all primitives."""
+    geom = scene.geometry
+    los, his = [], []
+    if geom.tri_v0.shape[0] > 0:
+        v0 = geom.tri_v0
+        v1 = geom.tri_v0 + geom.tri_e1
+        v2 = geom.tri_v0 + geom.tri_e2
+        verts = jnp.concatenate([v0, v1, v2], axis=0)
+        los.append(jnp.min(verts, axis=0))
+        his.append(jnp.max(verts, axis=0))
+    if geom.sph_center.shape[0] > 0:
+        r = geom.sph_radius[:, None]
+        los.append(jnp.min(geom.sph_center - r, axis=0))
+        his.append(jnp.max(geom.sph_center + r, axis=0))
+    if not los:
+        return jnp.zeros(3), jnp.float32(1.0)
+    lo = jnp.min(jnp.stack(los), axis=0)
+    hi = jnp.max(jnp.stack(his), axis=0)
+    center = 0.5 * (lo + hi)
+    radius = 0.5 * jnp.linalg.norm(hi - lo) + 1e-3
+    return center, radius
+
+
+def sample_photon(scene, em_id, u2a, u2b, u1):
     """Emit one photon per lane from emitter `em_id`.
 
-    Mirrors the implemented samplePhoton overloads:
+    Mirrors/extends the reference samplePhoton overloads:
     - area (arealight.cpp:127-144): surface point + cosine-hemisphere
       direction, W = π·area·radiance;
     - point (extension; reference base throws, emitter.h:114-118):
       uniform-sphere direction, W = power;
+    - envmap (EnvMap::samplePhoton, environmentmap.cpp:133-145; corrected —
+      the reference shoots the NEE shadow ray itself): luminance-importance
+      direction, origin uniform on a disk tangent to the scene bounding
+      sphere, W = L(ω)·πR²/pdf(ω);
+    - volume (extension; volumelight.cpp:79-83 throws): bbox/ball-uniform
+      point + uniform-sphere direction, W = 4π·V·radiance;
     - others: W = 0 (no photons; the lane dies immediately).
 
+    `u2a`/`u2b` are [N,2]; `u1` is [N] (third volume-point axis / disk reuse).
     Returns (ray_o, ray_d, W).
     """
+    from optix_renderer_tpu.ops import envmap as envmap_ops
     from optix_renderer_tpu.ops.emitter import _sample_shape_surface
-    from optix_renderer_tpu.scene.data import EmitterType
+    from optix_renderer_tpu.scene.data import EmitterGeom, EmitterType
 
     em = scene.emitters
     et = em.type[em_id]
@@ -135,18 +167,73 @@ def sample_photon(scene, em_id, u2a, u2b):
     d_point = warp.square_to_uniform_sphere(u2b)
     w_point = em.power[em_id]
 
+    # envmap: importance-sampled incoming direction wi; photons travel -wi
+    # from a disk of radius R placed outside the bounding sphere. Flux through
+    # the disk: Φ = πR²·∫L dω → W = L·πR²/pdf with a uniform disk origin.
+    wi_env, pdf_env, rad_env = envmap_ops.sample_dir(
+        scene.envmap, scene.envmap_pick, u2a
+    )
+    c_w, r_w = _scene_bounding_sphere(scene)
+    fr_env = make_frame(-wi_env)
+    disk = warp.square_to_uniform_disk(jnp.stack([u1, u2b[..., 0]], -1)) * r_w
+    o_env = (
+        c_w
+        + wi_env * (2.0 * r_w)
+        + fr_env.s * disk[..., 0:1]
+        + fr_env.t * disk[..., 1:2]
+    )
+    w_env = rad_env * (jnp.pi * r_w * r_w) / jnp.maximum(pdf_env, 1e-20)[..., None]
+
+    # volume: uniform point in the attached shape's volume + uniform sphere
+    # direction; W = Le/(pdf_p·pdf_ω) = radiance·V·4π
+    u3 = jnp.stack([u2a[..., 0], u2a[..., 1], u1], -1)
+    p_box = em.bbox_min[em_id] + em.bbox_extent[em_id] * u3
+    if scene.geometry.sph_center.shape[0] > 0:
+        sid_v = jnp.maximum(em.sphere_id[em_id], 0)
+        p_ball = (
+            scene.geometry.sph_center[sid_v]
+            + scene.geometry.sph_radius[sid_v][..., None]
+            * warp.square_to_uniform_sphere_volume(u3)
+        )
+        p_vol = jnp.where(
+            (em.geom_kind[em_id] == EmitterGeom.SPHERE)[..., None], p_ball, p_box
+        )
+    else:
+        p_vol = p_box
+    w_vol = (4.0 * jnp.pi * em.volume[em_id])[..., None] * em.radiance[em_id]
+
     is_area = et == EmitterType.AREA
     is_point = et == EmitterType.POINT
+    is_env = et == EmitterType.ENVMAP
+    is_vol = et == EmitterType.VOLUME
 
-    ro = jnp.where(is_area[..., None], p_s, em.position[em_id])
-    rd = jnp.where(is_area[..., None], d_area, d_point)
+    ro = jnp.where(
+        is_area[..., None],
+        p_s,
+        jnp.where(
+            is_env[..., None],
+            o_env,
+            jnp.where(is_vol[..., None], p_vol, em.position[em_id]),
+        ),
+    )
+    rd = jnp.where(
+        is_area[..., None],
+        d_area,
+        jnp.where(is_env[..., None], -wi_env, d_point),
+    )
     W = jnp.where(
         is_area[..., None],
         w_area,
-        jnp.where(is_point[..., None], w_point, 0.0),
+        jnp.where(
+            is_point[..., None],
+            w_point,
+            jnp.where(
+                is_env[..., None], w_env, jnp.where(is_vol[..., None], w_vol, 0.0)
+            ),
+        ),
     )
-    # offset area-light origins to avoid self-hits
-    ro = ro + jnp.where(is_area[..., None], rd * EPSILON, 0.0)
+    # offset surface-emitter origins to avoid self-hits
+    ro = ro + jnp.where((is_area | is_env)[..., None], rd * EPSILON, 0.0)
     return ro, rd, W
 
 
@@ -171,7 +258,8 @@ def trace_photons(scene, n_emit: int, max_depth: int, n_lights: int, stream):
     em_id = dpdf_mod.sample(scene.emitter_pick, u_pick)
     s, u2a = smp.next_2d(s)
     s, u2b = smp.next_2d(s)
-    ro, rd, W = sample_photon(scene, em_id, u2a, u2b)
+    s, u1 = smp.next_1d(s)
+    ro, rd, W = sample_photon(scene, em_id, u2a, u2b, u1)
     W = W * float(n_lights)  # photonmapper.cpp:92 (×getLights().size())
     active = jnp.any(W > 0.0, axis=-1)
 

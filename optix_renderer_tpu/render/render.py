@@ -11,6 +11,7 @@ Layer order matches ERenderLayer (integrator.h:29-39):
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -106,17 +107,69 @@ def render_round_accumulate(
     return acc + film.splat(config.width, config.height, config.rfilter, pos, layers)
 
 
+def save_checkpoint(path: str, acc, spp_done: int, config: RenderConfig) -> None:
+    """Persist the running accumulator (SURVEY §5.4: 'partial-image
+    accumulator snapshots are cheap')."""
+    np.savez(
+        path,
+        acc=np.asarray(acc),
+        spp_done=np.int64(spp_done),
+        shape_key=np.array([config.width, config.height], np.int64),
+        seed=np.int64(config.seed),
+    )
+
+
+def load_checkpoint(path: str, config: RenderConfig):
+    """Load (acc, spp_done); raises on resolution/seed mismatch (resuming a
+    different render would silently corrupt the film)."""
+    with np.load(path) as z:
+        wh = z["shape_key"]
+        if (int(wh[0]), int(wh[1])) != (config.width, config.height):
+            raise ValueError(
+                f"checkpoint is {wh[0]}x{wh[1]}, render is "
+                f"{config.width}x{config.height}"
+            )
+        if int(z["seed"]) != config.seed:
+            raise ValueError("checkpoint seed differs — sample streams diverge")
+        return jnp.asarray(z["acc"]), int(z["spp_done"])
+
+
+def _layers_out(acc) -> dict[str, np.ndarray]:
+    layers = np.asarray(film.to_bitmap(acc))
+    return {
+        "composite": layers[0],
+        "albedo": layers[1],
+        "normal": layers[2],
+        "weights": np.asarray(acc[0, ..., 3]),
+    }
+
+
 def render(
     scene: SceneData,
     config: RenderConfig,
     sample_count: int | None = None,
     verbose: bool = False,
+    preview_every: int = 0,
+    preview_callback=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> dict[str, np.ndarray]:
     """Full render: all sample rounds, pixel-chunked. Returns numpy layers.
 
     The renderThreadMain analog (render.cpp:232-419) without thread plumbing:
     outer loop = sample rounds, inner loop = pixel chunks (the tile scheduler,
     block.h:142-183 — chunk order is irrelevant since accumulation commutes).
+
+    Progressive/interrupt/checkpoint machinery (render.cpp:285-301 interrupt
+    polling, ImguiScreen progressive display, SURVEY §5.3-5.4):
+    - `preview_every=k` + `preview_callback(layers_dict, spp_done)` fetches
+      the partial film every k sample rounds (the GL-interop display analog);
+    - `checkpoint_path` (+`checkpoint_every=k`) snapshots the accumulator;
+      `resume=True` continues from an existing snapshot;
+    - SIGINT between chunks saves a final checkpoint (when a path is set) and
+      returns the valid partial render with `out["spp_done"] < spp` — the
+      interrupt-at-block-granularity contract.
     """
     scene = preprocess(scene, config)
     spp = sample_count if sample_count is not None else config.sample_count
@@ -131,20 +184,47 @@ def render(
                           np.full(pad, -max(w, h) * 4, np.int32)])
 
     acc = jnp.zeros((3, h, w, 4), jnp.float32)
-    t0 = time.time()
-    for s_idx in range(spp):
-        for c in range(n_chunks):
-            pix = jnp.asarray(ids[c * chunk : (c + 1) * chunk])
-            acc = render_round_accumulate(acc, scene, config, pix, jnp.int32(s_idx))
+    start_spp = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        acc, start_spp = load_checkpoint(checkpoint_path, config)
         if verbose:
-            acc.block_until_ready()
-            print(f"  sample {s_idx + 1}/{spp}  ({time.time() - t0:.1f}s)")
+            print(f"  resumed at sample {start_spp} from {checkpoint_path}")
 
-    layers = film.to_bitmap(acc)
-    layers = np.asarray(layers)
-    return {
-        "composite": layers[0],
-        "albedo": layers[1],
-        "normal": layers[2],
-        "weights": np.asarray(acc[0, ..., 3]),
-    }
+    t0 = time.time()
+    spp_done = start_spp
+    at_boundary = True  # acc holds only COMPLETE sample rounds
+    try:
+        for s_idx in range(start_spp, spp):
+            at_boundary = False
+            for c in range(n_chunks):
+                pix = jnp.asarray(ids[c * chunk : (c + 1) * chunk])
+                acc = render_round_accumulate(
+                    acc, scene, config, pix, jnp.int32(s_idx)
+                )
+            spp_done = s_idx + 1
+            at_boundary = True
+            if verbose:
+                acc.block_until_ready()
+                print(f"  sample {spp_done}/{spp}  ({time.time() - t0:.1f}s)")
+            if preview_every and preview_callback and spp_done % preview_every == 0:
+                preview_callback(_layers_out(acc), spp_done)
+            if checkpoint_path and checkpoint_every and spp_done % checkpoint_every == 0:
+                save_checkpoint(checkpoint_path, acc, spp_done, config)
+    except KeyboardInterrupt:
+        # degrade gracefully: the weighted film is valid at ANY chunk boundary
+        # (to_bitmap divides by the per-pixel weight channel), so the partial
+        # image is returned; a RESUME checkpoint is only written when acc sits
+        # exactly on a sample-round boundary — a mid-sample snapshot would
+        # double-count the finished chunks of the aborted round on resume
+        # (render.cpp:285-301,567-573 interrupt contract)
+        acc.block_until_ready()
+        if checkpoint_path and at_boundary:
+            save_checkpoint(checkpoint_path, acc, spp_done, config)
+        if verbose:
+            print(f"  interrupted at sample {spp_done}/{spp} — partial film returned")
+
+    if checkpoint_path and spp_done >= spp:
+        save_checkpoint(checkpoint_path, acc, spp_done, config)
+    out = _layers_out(acc)
+    out["spp_done"] = spp_done
+    return out

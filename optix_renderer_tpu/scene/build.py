@@ -585,12 +585,25 @@ class _Builder:
         else:
             bvh = bvh_mod.empty_bvh()
 
+        # UV-aligned tangent dp/du per triangle (mesh.cpp:176-185): solves
+        # [e1 e2] = [duv1 duv2]·[T B] for T; zero tangent marks a degenerate
+        # UV chart and shading falls back to the Duff ONB.
+        duv1 = tri_uv1 - tri_uv0
+        duv2 = tri_uv2 - tri_uv0
+        uv_det = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+        safe_det = np.where(np.abs(uv_det) > 1e-12, uv_det, 1.0)
+        tri_tang = (
+            (tri_v1 - tri_v0) * duv2[:, 1:2] - (tri_v2 - tri_v0) * duv1[:, 1:2]
+        ) / safe_det[:, None]
+        tri_tang = np.where(np.abs(uv_det)[:, None] > 1e-12, tri_tang, 0.0)
+
         geometry = Geometry(
             tri_v0=_j(tri_v0),
             tri_e1=_j(tri_v1 - tri_v0),
             tri_e2=_j(tri_v2 - tri_v0),
             tri_n0=_j(tri_n0), tri_n1=_j(tri_n1), tri_n2=_j(tri_n2),
             tri_uv0=_j(tri_uv0), tri_uv1=_j(tri_uv1), tri_uv2=_j(tri_uv2),
+            tri_tang=_j(tri_tang.astype(np.float32)),
             tri_shape=_j(tri_shape, jnp.int32),
             sph_center=_j(sph_center),
             sph_radius=_j(sph_radius),
@@ -852,6 +865,11 @@ class _Builder:
             n_tris=int(self.tri_count),
             n_spheres=len(self.spheres),
             n_emitters=n_real_emitters,
+            shadow_segments=(
+                integrator.props.get_integer("shadowSegments", 8)
+                if integrator is not None
+                else 8
+            ),
         )
 
         # envmap tables: oriented lat-long grid + luminance·sinθ pixel DPDF

@@ -89,6 +89,9 @@ class Geometry(NamedTuple):
     tri_uv0: jnp.ndarray  # [T,2]
     tri_uv1: jnp.ndarray
     tri_uv2: jnp.ndarray
+    # UV-aligned tangent dp/du per triangle (mesh.cpp:176-185 TBN), zero where
+    # the UV parameterization is degenerate → shading falls back to a Duff ONB
+    tri_tang: jnp.ndarray  # [T,3]
     tri_shape: jnp.ndarray  # [T] int32 shape id
     sph_center: jnp.ndarray  # [S,3]
     sph_radius: jnp.ndarray  # [S]
@@ -268,6 +271,10 @@ class RenderConfig:
     # adaptive sampler knobs (adaptive.cpp:18-22)
     adaptive: bool = False
     adaptive_uniform_rounds: int = 4
+    # static unroll bound for shadow-ray boundary crossings through media
+    # (path_vol_mis.cpp:26-46 traceShadowray's unbounded while-loop); scenes
+    # with deeper medium nesting should raise it via XML/CLI override
+    shadow_segments: int = 8
     # counts (static shapes of the tables)
     n_tris: int = 0
     n_spheres: int = 0

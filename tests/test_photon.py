@@ -28,6 +28,7 @@ def _diffuse_ctx(scene, points):
         n_s=nrm,
         n_g=nrm,
         uv=jnp.zeros((n, 2)),
+        tang=jnp.zeros((n, 3)),
         shape=jnp.zeros(n, jnp.int32),
         prim_kind=jnp.ones(n, jnp.int32),
         prim_id=jnp.zeros(n, jnp.int32),
