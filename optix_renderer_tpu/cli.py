@@ -47,32 +47,44 @@ def cmd_render(args) -> int:
     if overrides:
         config = dataclasses.replace(config, **overrides)
 
+    if args.resume and not args.checkpoint:
+        print("warning: --resume has no effect without --checkpoint")
+
     out_base = Path(args.output) if args.output else Path(args.scene).with_suffix("")
     print(
         f"Rendering {args.scene}: {config.width}x{config.height} @ "
         f"{config.sample_count}spp, integrator={config.integrator}"
         + (" [adaptive]" if config.adaptive else "")
     )
+    preview_cb = None
+    if args.preview_every:
+        # progressive preview: periodic partial-film PNG (the GL display
+        # path of ImguiScreen.cpp:252-316 as a file-based live view)
+        def preview_cb(layers, spp_done):
+            iio.write_png(str(out_base) + "_preview.png", layers["composite"])
+            if args.verbose:
+                print(f"  preview @ {spp_done}spp → {out_base}_preview.png")
+
     t0 = time.time()
     if args.sharded:
         from optix_renderer_tpu.parallel.shard import render_sharded
 
-        out = render_sharded(scene, config)
+        out = render_sharded(
+            scene,
+            config,
+            verbose=args.verbose,
+            preview_every=args.preview_every,
+            preview_callback=preview_cb,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+        )
     elif config.adaptive and not args.no_adaptive:
         from optix_renderer_tpu.render.adaptive import render_adaptive
 
         out = render_adaptive(scene, config, verbose=args.verbose)
     else:
         from optix_renderer_tpu.render.render import render
-
-        preview_cb = None
-        if args.preview_every:
-            # progressive preview: periodic partial-film PNG (the GL display
-            # path of ImguiScreen.cpp:252-316 as a file-based live view)
-            def preview_cb(layers, spp_done):
-                iio.write_png(str(out_base) + "_preview.png", layers["composite"])
-                if args.verbose:
-                    print(f"  preview @ {spp_done}spp → {out_base}_preview.png")
 
         out = render(
             scene,
@@ -96,10 +108,26 @@ def cmd_render(args) -> int:
             var[..., None].repeat(3, axis=-1),
         )
     if args.denoise:
+        import os
+
         import numpy as np
         import jax.numpy as jnp
 
-        if args.denoise == "learned":
+        mode = args.denoise
+        if mode == "learned":
+            from optix_renderer_tpu.denoise import learned
+
+            ckpt = learned._norm_ckpt_path(args.denoiser_ckpt)
+            if not os.path.exists(ckpt):
+                # the bilateral filter is the documented fallback when no
+                # trained checkpoint exists (denoise/learned.py docstring)
+                print(
+                    f"warning: denoiser checkpoint {ckpt} not found — "
+                    "falling back to bilateral (train one with "
+                    "`train-denoiser`)"
+                )
+                mode = "bilateral"
+        if mode == "learned":
             # OptiX-AI-denoiser replacement (OptixState.denoiser.cpp:15-152):
             # RGB+albedo+normal in → RGB out, params from a trained checkpoint
             from optix_renderer_tpu.denoise import learned

@@ -109,12 +109,17 @@ def train(
 #    a flat npz keeps the artifact dependency-free and inspectable) ----------
 
 
+def _norm_ckpt_path(path: str) -> str:
+    # np.savez appends '.npz' when missing; keep save/load symmetric
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
+
+
 def save_checkpoint(path: str, params) -> None:
-    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+    np.savez(_norm_ckpt_path(path), **{k: np.asarray(v) for k, v in params.items()})
 
 
 def load_checkpoint(path: str):
-    with np.load(path) as z:
+    with np.load(_norm_ckpt_path(path)) as z:
         return {k: jnp.asarray(z[k]) for k in z.files}
 
 

@@ -53,10 +53,13 @@ def trace(scene: SceneData, ray: Ray) -> ShadingCtx:
     ntex = scene.shapes.normal_tex[sid]
     has_nm = ntex >= 0
     fallback = make_frame(n)
-    t_proj = its.tang - n * dot(n, its.tang)[..., None]
+    tang3 = its.tang[..., :3]
+    t_proj = tang3 - n * dot(n, tang3)[..., None]
     has_tbn = jnp.sum(t_proj * t_proj, axis=-1) > 1e-12
     t_hat = normalize(jnp.where(has_tbn[..., None], t_proj, fallback.s))
-    b_hat = jnp.cross(n, t_hat)
+    # bitangent carries the UV handedness sign (tang.w, build.py) so mirrored
+    # UV charts don't flip the normal map's green channel (mesh.cpp:176-185)
+    b_hat = its.tang[..., 3:4] * jnp.cross(n, t_hat)
     tbn = Frame(
         s=jnp.where(has_tbn[..., None], t_hat, fallback.s),
         t=jnp.where(has_tbn[..., None], b_hat, fallback.t),

@@ -10,7 +10,9 @@ when the toolchain is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 
@@ -19,26 +21,44 @@ _LOCK = threading.Lock()
 _LIBS: dict[str, object] = {}
 
 
+def _cache_dir() -> str:
+    base = os.environ.get("ORT_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "optix_renderer_tpu"
+    )
+    d = os.path.join(base, "native")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _build_and_load(name: str, extra_flags=()):
-    """Compile {name}.cpp → lib{name}.so (cached by mtime) and dlopen it.
+    """Compile {name}.cpp → a user-cache .so keyed by a content hash of the
+    source + host arch (a committed or mtime-cached binary built with
+    -march=native on another machine would SIGILL at first call; keying by
+    content also means source edits can never be shadowed by a stale .so).
     Returns None when compilation fails (callers fall back to numpy)."""
     with _LOCK:
         if name in _LIBS:
             return _LIBS[name]
         src = os.path.join(_DIR, f"{name}.cpp")
-        so = os.path.join(_DIR, f"lib{name}.so")
         lib = None
         try:
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            with open(src, "rb") as f:
+                key = hashlib.sha256(
+                    f.read() + platform.machine().encode() + platform.node().encode()
+                ).hexdigest()[:20]
+            so = os.path.join(_cache_dir(), f"lib{name}-{key}.so")
+            if not os.path.exists(so):
+                tmp = so + f".tmp{os.getpid()}"
                 cmd = [
                     "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                    "-fopenmp", "-o", so, src, *extra_flags,
+                    "-fopenmp", "-o", tmp, src, *extra_flags,
                 ]
                 r = subprocess.run(cmd, capture_output=True, timeout=120)
                 if r.returncode != 0:  # retry without OpenMP
                     cmd = [c for c in cmd if c != "-fopenmp"]
                     r = subprocess.run(cmd, capture_output=True, timeout=120)
                     r.check_returncode()
+                os.replace(tmp, so)  # atomic: concurrent builders race safely
             lib = ctypes.CDLL(so)
         except Exception:
             lib = None

@@ -57,7 +57,7 @@ class Interaction(NamedTuple):
     n_s: jnp.ndarray  # shading normal
     n_g: jnp.ndarray  # geometric normal
     uv: jnp.ndarray  # [N,2]
-    tang: jnp.ndarray  # [N,3] UV tangent dp/du (zero → no UV chart)
+    tang: jnp.ndarray  # [N,4] UV tangent dp/du + handedness w (zero → no UV chart)
     shape: jnp.ndarray  # [N] int32 shape id (-1 if miss)
     prim_kind: jnp.ndarray
     prim_id: jnp.ndarray
@@ -203,7 +203,7 @@ def make_interaction(geom: Geometry, ray: Ray, hit: Hit) -> Interaction:
         n_g_tri = jnp.zeros((n, 3), jnp.float32)
         n_s_tri = jnp.zeros((n, 3), jnp.float32)
         uv_tri = jnp.zeros((n, 2), jnp.float32)
-        tang_tri = jnp.zeros((n, 3), jnp.float32)
+        tang_tri = jnp.zeros((n, 4), jnp.float32)
         shape_tri = jnp.zeros(n, jnp.int32)
 
     # --- sphere path

@@ -115,6 +115,13 @@ def _mt_pallas(o, d, mint, cutoff, v0, e1, e2, interpret=False):
     # of padding to 128 rows of dead compute
     tb = min(256, _round_up(max(t_cnt, 8), 8))
     t_pad = _round_up(max(t_cnt, tb), tb)
+    # the winning id rides a float32 lane register — exact only to 2^24.
+    # intersect() routes meshes ≥257 tris to the BVH, but this is a public
+    # entry (tests/benches call it directly): make the bound explicit.
+    assert t_pad < (1 << 24), (
+        f"mt_closest_hit id channel is float32-exact only below 2^24 "
+        f"triangles (got {t_cnt}); use the BVH path"
+    )
 
     rays = jnp.zeros((8, n_pad), jnp.float32)
     rays = rays.at[0:3, :n].set(o.T)

@@ -113,9 +113,30 @@ def render_sharded(
     config: RenderConfig,
     mesh: Mesh | None = None,
     sample_count: int | None = None,
+    verbose: bool = False,
+    preview_every: int = 0,
+    preview_callback=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> dict[str, np.ndarray]:
-    """Full multi-device render (the distributed renderThreadMain analog)."""
-    from optix_renderer_tpu.render.render import preprocess
+    """Full multi-device render (the distributed renderThreadMain analog).
+
+    Carries the same orchestration contract as the single-device loop
+    (render/render.py): progressive preview, accumulator checkpoints with
+    resume, and a SIGINT-safe partial film. One "round" here covers
+    `n_sample_dev` samples (the sample mesh axis renders them concurrently),
+    so spp counters advance in that stride.
+    """
+    import os
+
+    from optix_renderer_tpu.render.render import (
+        _layers_out,
+        _norm_ckpt_path,
+        load_checkpoint,
+        preprocess,
+        save_checkpoint,
+    )
 
     scene = preprocess(scene, config)
     if mesh is None:
@@ -133,17 +154,42 @@ def render_sharded(
     ids = jnp.asarray(ids)
 
     acc = jnp.zeros((3, config.height, config.width, 4), jnp.float32)
-    for r in range(n_rounds):
-        acc = _sharded_round_acc_jit(
-            acc, scene, config, mesh, ids, jnp.int32(r * n_sample_dev)
-        )
-    layers = np.asarray(film.to_bitmap(acc))
-    return {
-        "composite": layers[0],
-        "albedo": layers[1],
-        "normal": layers[2],
-        "weights": np.asarray(acc[0, ..., 3]),
-    }
+    start_round = 0
+    if resume and checkpoint_path and os.path.exists(_norm_ckpt_path(checkpoint_path)):
+        acc, spp_resumed = load_checkpoint(checkpoint_path, config)
+        start_round = spp_resumed // n_sample_dev
+        if verbose:
+            print(f"  resumed at sample {spp_resumed} from {checkpoint_path}")
+
+    spp_done = start_round * n_sample_dev
+    try:
+        for r in range(start_round, n_rounds):
+            acc = _sharded_round_acc_jit(
+                acc, scene, config, mesh, ids, jnp.int32(r * n_sample_dev)
+            )
+            spp_done = (r + 1) * n_sample_dev
+            done_rounds = r + 1
+            if verbose:
+                acc.block_until_ready()
+                print(f"  sample {spp_done}/{n_rounds * n_sample_dev}")
+            if preview_every and preview_callback and done_rounds % preview_every == 0:
+                preview_callback(_layers_out(acc), spp_done)
+            if checkpoint_path and checkpoint_every and done_rounds % checkpoint_every == 0:
+                save_checkpoint(checkpoint_path, acc, spp_done, config)
+    except KeyboardInterrupt:
+        # acc always sits on a round boundary here (the add is one dispatch),
+        # so the partial film is valid and resumable
+        acc.block_until_ready()
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, acc, spp_done, config)
+        if verbose:
+            print(f"  interrupted at sample {spp_done} — partial film returned")
+
+    if checkpoint_path and spp_done >= n_rounds * n_sample_dev:
+        save_checkpoint(checkpoint_path, acc, spp_done, config)
+    out = _layers_out(acc)
+    out["spp_done"] = spp_done
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -107,11 +107,18 @@ def render_round_accumulate(
     return acc + film.splat(config.width, config.height, config.rfilter, pos, layers)
 
 
+def _norm_ckpt_path(path: str) -> str:
+    """np.savez appends '.npz' when the suffix is missing, so a bare path would
+    save to `path.npz` while load reads the literal `path` and --resume would
+    silently restart. Normalize both directions to the '.npz' name."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, acc, spp_done: int, config: RenderConfig) -> None:
     """Persist the running accumulator (SURVEY §5.4: 'partial-image
     accumulator snapshots are cheap')."""
     np.savez(
-        path,
+        _norm_ckpt_path(path),
         acc=np.asarray(acc),
         spp_done=np.int64(spp_done),
         shape_key=np.array([config.width, config.height], np.int64),
@@ -122,7 +129,7 @@ def save_checkpoint(path: str, acc, spp_done: int, config: RenderConfig) -> None
 def load_checkpoint(path: str, config: RenderConfig):
     """Load (acc, spp_done); raises on resolution/seed mismatch (resuming a
     different render would silently corrupt the film)."""
-    with np.load(path) as z:
+    with np.load(_norm_ckpt_path(path)) as z:
         wh = z["shape_key"]
         if (int(wh[0]), int(wh[1])) != (config.width, config.height):
             raise ValueError(
@@ -185,7 +192,7 @@ def render(
 
     acc = jnp.zeros((3, h, w, 4), jnp.float32)
     start_spp = 0
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+    if resume and checkpoint_path and os.path.exists(_norm_ckpt_path(checkpoint_path)):
         acc, start_spp = load_checkpoint(checkpoint_path, config)
         if verbose:
             print(f"  resumed at sample {start_spp} from {checkpoint_path}")

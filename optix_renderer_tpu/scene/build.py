@@ -596,6 +596,14 @@ class _Builder:
             (tri_v1 - tri_v0) * duv2[:, 1:2] - (tri_v2 - tri_v0) * duv1[:, 1:2]
         ) / safe_det[:, None]
         tri_tang = np.where(np.abs(uv_det)[:, None] > 1e-12, tri_tang, 0.0)
+        # 4th component = UV handedness (glTF tangent.w convention): mirrored
+        # UV charts (det<0) flip the bitangent so tangent-space normal maps
+        # keep their authored green-channel orientation — matches the
+        # reference's dp/du–dp/dv frame that solves for B explicitly
+        # (mesh.cpp:176-185)
+        tri_tang = np.concatenate(
+            [tri_tang, np.sign(safe_det)[:, None]], axis=1
+        )
 
         geometry = Geometry(
             tri_v0=_j(tri_v0),

@@ -91,7 +91,7 @@ class Geometry(NamedTuple):
     tri_uv2: jnp.ndarray
     # UV-aligned tangent dp/du per triangle (mesh.cpp:176-185 TBN), zero where
     # the UV parameterization is degenerate → shading falls back to a Duff ONB
-    tri_tang: jnp.ndarray  # [T,3]
+    tri_tang: jnp.ndarray  # [T,4] (xyz = dp/du, w = UV handedness ±1)
     tri_shape: jnp.ndarray  # [T] int32 shape id
     sph_center: jnp.ndarray  # [S,3]
     sph_radius: jnp.ndarray  # [S]

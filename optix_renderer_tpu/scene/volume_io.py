@@ -51,17 +51,28 @@ def load_volume(path) -> VolumeGrid:
     raise ValueError(f"unsupported volume format: {path}")
 
 
+def _cache_root() -> Path:
+    import os
+
+    base = os.environ.get("ORT_CACHE_DIR") or str(
+        Path.home() / ".cache" / "optix_renderer_tpu"
+    )
+    d = Path(base) / "vdb"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
 def _load_vdb_cached(path: Path) -> VolumeGrid:
-    """.vdb → dense grids, cached as .npz beside the file (or in /tmp when the
-    source directory is read-only), invalidated by source mtime — the same
-    scheme as NvdbVolume.vdb.cpp:9-38."""
+    """.vdb → dense grids, cached as .npz in the user cache dir
+    (ORT_CACHE_DIR or ~/.cache/optix_renderer_tpu/vdb), keyed by the source
+    path and invalidated by source mtime — the same scheme as the reference's
+    .vdb→.nvdb conversion cache (NvdbVolume.vdb.cpp:9-38), but NEVER written
+    beside the source: scene trees may be read-only or foreign checkouts."""
     import hashlib
 
     mtime = path.stat().st_mtime_ns
-    cache = path.with_suffix(".cache.npz")
-    if not _writable_dir(path.parent):
-        tag = hashlib.sha1(str(path).encode()).hexdigest()[:16]
-        cache = Path("/tmp") / f"ort_vdb_{tag}.npz"
+    tag = hashlib.sha1(str(path.resolve()).encode()).hexdigest()[:16]
+    cache = _cache_root() / f"{path.stem}-{tag}.npz"
     if cache.exists():
         d = np.load(cache)
         if int(d.get("mtime", -1)) == mtime:
@@ -102,12 +113,6 @@ def _load_vdb_cached(path: Path) -> VolumeGrid:
     except OSError:
         pass
     return out
-
-
-def _writable_dir(d: Path) -> bool:
-    import os
-
-    return os.access(d, os.W_OK)
 
 
 def make_procedural_fog(res: int = 64, kind: str = "sphere") -> VolumeGrid:

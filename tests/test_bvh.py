@@ -37,7 +37,7 @@ def _soup_geometry(n_tris: int, seed: int, with_bvh: bool) -> Geometry:
         tri_e2=jnp.asarray(v2 - v0),
         tri_n0=z3, tri_n1=z3, tri_n2=z3,
         tri_uv0=z2, tri_uv1=z2, tri_uv2=z2,
-        tri_tang=z3,
+        tri_tang=jnp.zeros((n_tris, 4), jnp.float32),
         tri_shape=jnp.zeros(n_tris, jnp.int32),
         sph_center=jnp.zeros((0, 3), jnp.float32),
         sph_radius=jnp.zeros((0,), jnp.float32),

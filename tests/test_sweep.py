@@ -133,9 +133,11 @@ def test_uv_tangents_precomputed(tmp_path):
     """tri_tang is dp/du of the UV chart, shared by both quad triangles."""
     scene, _, _ = _normal_mapped_quad(tmp_path, "x")
     tang = np.asarray(scene.geometry.tri_tang)
-    assert tang.shape[0] == 2
-    d = tang / np.linalg.norm(tang, axis=-1, keepdims=True)
+    assert tang.shape == (2, 4)
+    d = tang[:, :3] / np.linalg.norm(tang[:, :3], axis=-1, keepdims=True)
     np.testing.assert_allclose(d, [[1, 0, 0], [1, 0, 0]], atol=1e-5)
+    # handedness sign is +-1 for a valid UV chart
+    assert set(np.abs(tang[:, 3]).tolist()) == {1.0}
 
 
 # ---------------------------------------------------------------------------
