@@ -18,7 +18,27 @@ import time
 from pathlib import Path
 
 
+def _maybe_init_distributed(args) -> bool:
+    """Join the multi-controller runtime when --distributed is set.
+
+    Must run before any other JAX use. Returns True when distributed.
+    """
+    if not getattr(args, "distributed", False):
+        return False
+    from optix_renderer_tpu.parallel.multihost import init_distributed
+
+    init_distributed(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        local_cpu_devices=args.local_cpu_devices,
+    )
+    return True
+
+
 def cmd_render(args) -> int:
+    distributed = _maybe_init_distributed(args)
+
     from optix_renderer_tpu.scene.build import load_scene
     from optix_renderer_tpu.scene.parser import load_from_xml
     from optix_renderer_tpu.utils import imageio as iio
@@ -66,7 +86,16 @@ def cmd_render(args) -> int:
                 print(f"  preview @ {spp_done}spp → {out_base}_preview.png")
 
     t0 = time.time()
-    if args.sharded:
+    if distributed:
+        import jax
+
+        from optix_renderer_tpu.parallel.multihost import render_multihost
+
+        out = render_multihost(scene, config, verbose=args.verbose)
+        if jax.process_index() != 0:
+            # the film is replicated; only process 0 writes artifacts
+            return 0
+    elif args.sharded:
         from optix_renderer_tpu.parallel.shard import render_sharded
 
         out = render_sharded(
@@ -187,6 +216,32 @@ def cmd_train_denoiser(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    """Scaling-efficiency harness (the BASELINE ≥90% 1→N-host target's
+    measurement): rays/s on one device vs the full mesh, JSON out.
+    Run per-host with the --distributed flags on real multi-host topologies."""
+    _maybe_init_distributed(args)
+
+    import dataclasses as dc
+
+    from optix_renderer_tpu.parallel.multihost import measure_scaling
+
+    if args.scene:
+        from optix_renderer_tpu.scene.build import load_scene
+
+        scene, config, _ = load_scene(args.scene)
+    else:
+        from optix_renderer_tpu.scene.presets import make_cornell_box
+
+        scene, config, _ = make_cornell_box(
+            width=args.size, height=args.size * 3 // 4, spp=args.spp
+        )
+    config = dc.replace(config, sample_count=args.spp)
+    res = measure_scaling(scene, config, spp=args.spp, out_path=args.output)
+    print(json.dumps(res, indent=1))
+    return 0
+
+
 def cmd_tonemap(args) -> int:
     import numpy as np
 
@@ -227,6 +282,23 @@ def cmd_warptest(args) -> int:
         print(f"{'PASS' if ok else 'FAIL'}  {name:24s} {msg}")
         failures += 0 if ok else 1
     return 1 if failures else 0
+
+
+def _add_distributed_flags(sp) -> None:
+    """Multi-host flags (parallel/multihost.py). Same command on every host;
+    on TPU pods with a standard launcher the triple may be omitted
+    (jax.distributed auto-detection)."""
+    sp.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host execution via jax.distributed over DCN",
+    )
+    sp.add_argument("--coordinator", help="process-0 address, e.g. host0:9876")
+    sp.add_argument("--num-processes", type=int)
+    sp.add_argument("--process-id", type=int)
+    sp.add_argument(
+        "--local-cpu-devices", type=int,
+        help="rehearsal mode: CPU platform with N virtual local devices",
+    )
 
 
 def main(argv=None) -> int:
@@ -274,7 +346,18 @@ def main(argv=None) -> int:
         help="continue from --checkpoint if it exists",
     )
     pr.add_argument("-v", "--verbose", action="store_true")
+    _add_distributed_flags(pr)
     pr.set_defaults(fn=cmd_render)
+
+    ps = sub.add_parser(
+        "scaling", help="measure 1-device vs full-mesh scaling efficiency"
+    )
+    ps.add_argument("--scene", help="scene XML (default: built-in Cornell box)")
+    ps.add_argument("--spp", type=int, default=4)
+    ps.add_argument("--size", type=int, default=256)
+    ps.add_argument("-o", "--output", default="scaling.json")
+    _add_distributed_flags(ps)
+    ps.set_defaults(fn=cmd_scaling)
 
     pd = sub.add_parser(
         "train-denoiser", help="train the learned denoiser on self-rendered pairs"

@@ -218,6 +218,7 @@ def apply_params(scene: SceneData, params) -> SceneData:
     )
 
 
+@partial(jax.jit, static_argnames=("config", "mesh"))
 def sharded_train_step(
     scene: SceneData,
     config: RenderConfig,
@@ -228,7 +229,11 @@ def sharded_train_step(
 ):
     """loss + grads w.r.t. trainable_params, with the film psum'd over the mesh
     and parameter gradients implicitly all-reduced by the backward psum —
-    the renderer analog of a DP+grad-allreduce training step."""
+    the renderer analog of a DP+grad-allreduce training step.
+
+    Jitted as one program: an eager shard_map dispatches every primitive as
+    its own tiny multi-device program (measured: minutes instead of seconds
+    on the multi-process CPU rehearsal)."""
 
     def loss_fn(params, scene_rep, pix, sbase, tgt):
         sc = apply_params(scene_rep, params)

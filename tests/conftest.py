@@ -25,3 +25,14 @@ os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not marked `heavy` is the fast tier: `pytest -m fast`
+    (W5 — the full suite is compile-dominated on CPU; the fast tier keeps a
+    <2 min cold signal)."""
+    for item in items:
+        if "heavy" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
