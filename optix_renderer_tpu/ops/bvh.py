@@ -41,6 +41,11 @@ LEAF_SIZE = 4
 # pointer chasing, mirroring the reference's serial-below-32-prims cutoff
 # (bvh.cpp:57).
 MIN_TRIS_FOR_BVH = 257
+# same cutoff idea for analytic spheres: the reference BVH indexes all
+# shapes' primitives uniformly (bvh.h:43-171); here spheres get their own
+# LBVH (the per-shape-type GAS split of OptixState.as.cpp:47-169) once the
+# brute sweep stops being the faster option.
+MIN_SPHS_FOR_BVH = 65
 
 
 class Bvh(NamedTuple):
@@ -202,6 +207,18 @@ def build_bvh(v0, v1, v2, leaf_size: int = LEAF_SIZE) -> Bvh:
     )
 
 
+def build_sphere_bvh(center, radius, leaf_size: int = LEAF_SIZE) -> Bvh:
+    """LBVH over analytic spheres (bvh.h:43-171 indexes all shapes' prims).
+
+    Reuses the triangle builder unchanged: it derives each primitive's AABB
+    from three points, and (c−r, c+r, c) spans exactly the sphere's AABB —
+    so the same native/numpy code paths serve both primitive kinds.
+    """
+    c = np.asarray(center, np.float32)
+    r = np.asarray(radius, np.float32)[:, None]
+    return build_bvh(c - r, c + r, c, leaf_size)
+
+
 # ---------------------------------------------------------------------------
 # Device-side traversal
 # ---------------------------------------------------------------------------
@@ -311,3 +328,91 @@ def traverse(
         cond, body, state
     )
     return best_t, best_id, best_u, best_v, found
+
+
+def _leaf_spheres(o, d, mint, best_t, center, radius):
+    """Quadratic sphere test for per-lane bundles (sphere.cpp:67-124 contract).
+
+    o,d: [N,3]; mint,best_t: [N]; center: [N,L,3]; radius: [N,L] →
+    candidate t per slot [N,L] (+huge where no valid root in [mint, best_t)).
+    """
+    oc = o[:, None, :] - center  # [N,L,3]
+    a = jnp.sum(d * d, axis=-1)[:, None]
+    b = 2.0 * jnp.sum(oc * d[:, None, :], axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = -0.5 * (b + jnp.sign(b) * sq)
+    t0 = q / a
+    t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1e-20)
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    in_n = ok & (tn >= mint[:, None]) & (tn < best_t[:, None])
+    in_f = ok & (tf >= mint[:, None]) & (tf < best_t[:, None])
+    return jnp.where(in_n, tn, jnp.where(in_f, tf, jnp.float32(3.4e38)))
+
+
+def traverse_spheres(
+    bvh: Bvh,
+    center: jnp.ndarray,
+    radius: jnp.ndarray,
+    ray: Ray,
+    t_init: jnp.ndarray,
+    any_hit: bool = False,
+):
+    """Closest-hit walk of the sphere LBVH. Returns (t, sphere_id, found).
+
+    Same stackless escape-link walk as `traverse`; the leaf test is the
+    stable-quadratic sphere intersection instead of Möller–Trumbore.
+    """
+    n = ray.o.shape[0]
+    n_nodes = bvh.node_min.shape[0]
+    L = LEAF_SIZE
+
+    inv_d = 1.0 / jnp.where(jnp.abs(ray.d) > 1e-20, ray.d, 1e-20)
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(n)
+
+    def cond(state):
+        return jnp.any(state[0] < n_nodes)
+
+    def body(state):
+        node, best_t, best_id, found = state
+        active = node < n_nodes
+        nid = jnp.minimum(node, n_nodes - 1)
+        hit_box = active & _slab(
+            ray.o, inv_d, bvh.node_min[nid], bvh.node_max[nid], ray.mint, best_t
+        )
+        fi = bvh.first[nid]
+        is_leaf = fi >= 0
+        do_leaf = hit_box & is_leaf
+
+        pids = bvh.prim[jnp.where(do_leaf, fi, 0)[:, None] + lane]  # [N,L]
+        ok = do_leaf[:, None] & (pids >= 0)
+        gid = jnp.maximum(pids, 0)
+        t_cand = _leaf_spheres(
+            ray.o, ray.d, ray.mint, best_t, center[gid], radius[gid]
+        )
+        t_cand = jnp.where(ok, t_cand, jnp.float32(3.4e38))
+        j = jnp.argmin(t_cand, axis=-1)
+        tj = t_cand[rows, j]
+        better = tj < best_t
+        best_t = jnp.where(better, tj, best_t)
+        best_id = jnp.where(better, pids[rows, j], best_id)
+        found = found | better
+
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, bvh.skip[nid])
+        nxt = jnp.where(active, nxt, node)
+        if any_hit:
+            nxt = jnp.where(found, n_nodes, nxt)
+        return nxt, best_t, best_id, found
+
+    state = (
+        jnp.zeros(n, jnp.int32),
+        t_init,
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, bool),
+    )
+    node, best_t, best_id, found = jax.lax.while_loop(cond, body, state)
+    return best_t, best_id, found

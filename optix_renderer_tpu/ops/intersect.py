@@ -137,7 +137,26 @@ def intersect(geom: Geometry, ray: Ray, any_hit: bool = False) -> Hit:
         )
 
     n_sph = geom.sph_center.shape[0]
-    if n_sph > 0:
+    if geom.sph_bvh.node_min.shape[0] > 0:
+        # sphere LBVH for sphere-heavy scenes (ops/bvh.py traverse_spheres):
+        # same asymptotics as the triangle path (M4 — the reference indexes
+        # all shapes' primitives in its BVH, bvh.h:43-171)
+        st, sid, sf = bvh_mod.traverse_spheres(
+            geom.sph_bvh,
+            geom.sph_center,
+            geom.sph_radius,
+            ray,
+            best.t,
+            any_hit=any_hit,
+        )
+        best = Hit(
+            t=st,
+            prim_kind=jnp.where(sf, PRIM_SPHERE, best.prim_kind),
+            prim_id=jnp.where(sf, sid, best.prim_id),
+            u=best.u,
+            v=best.v,
+        )
+    elif n_sph > 0:
         tn, tf, ok = _ray_spheres(ray.o, ray.d, geom.sph_center, geom.sph_radius)
         # nearest root within [mint, t_best)
         t_near_ok = ok & (tn >= ray.mint[:, None]) & (tn < best.t[:, None])

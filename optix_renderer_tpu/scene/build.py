@@ -584,6 +584,10 @@ class _Builder:
             bvh = bvh_mod.build_bvh(tri_v0, tri_v1, tri_v2)
         else:
             bvh = bvh_mod.empty_bvh()
+        if len(sph_center) >= bvh_mod.MIN_SPHS_FOR_BVH:
+            sph_bvh = bvh_mod.build_sphere_bvh(sph_center, sph_radius)
+        else:
+            sph_bvh = bvh_mod.empty_bvh()
 
         # UV-aligned tangent dp/du per triangle (mesh.cpp:176-185): solves
         # [e1 e2] = [duv1 duv2]·[T B] for T; zero tangent marks a degenerate
@@ -617,6 +621,7 @@ class _Builder:
             sph_radius=_j(sph_radius),
             sph_shape=_j(sph_shape, jnp.int32),
             bvh=bvh,
+            sph_bvh=sph_bvh,
         )
 
         # shape offsets into the global triangle array (for emitter CDFs)

@@ -101,6 +101,10 @@ class Geometry(NamedTuple):
     # OptiX GAS/IAS (OptixState.as.cpp) — built at scene compile, traversed
     # by a stackless threaded walk.
     bvh: Bvh
+    # LBVH over the analytic spheres (the per-shape-type GAS split of
+    # OptixState.as.cpp:47-169; the reference CPU BVH indexes all shapes'
+    # primitives in one tree, bvh.h:43-171). Empty → brute-force sweep.
+    sph_bvh: Bvh
 
 
 class Shapes(NamedTuple):

@@ -43,6 +43,32 @@ def _soup_geometry(n_tris: int, seed: int, with_bvh: bool) -> Geometry:
         sph_radius=jnp.zeros((0,), jnp.float32),
         sph_shape=jnp.zeros((0,), jnp.int32),
         bvh=bvh,
+        sph_bvh=bvh_mod.empty_bvh(),
+    )
+
+
+def _sphere_geometry(n_sph: int, seed: int, with_bvh: bool) -> Geometry:
+    rng = np.random.default_rng(seed)
+    center = rng.uniform(-3.0, 3.0, (n_sph, 3)).astype(np.float32)
+    radius = rng.uniform(0.05, 0.4, n_sph).astype(np.float32)
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    z2 = jnp.zeros((0, 2), jnp.float32)
+    sph_bvh = (
+        bvh_mod.build_sphere_bvh(center, radius)
+        if with_bvh
+        else bvh_mod.empty_bvh()
+    )
+    return Geometry(
+        tri_v0=z3, tri_e1=z3, tri_e2=z3,
+        tri_n0=z3, tri_n1=z3, tri_n2=z3,
+        tri_uv0=z2, tri_uv1=z2, tri_uv2=z2,
+        tri_tang=jnp.zeros((0, 4), jnp.float32),
+        tri_shape=jnp.zeros(0, jnp.int32),
+        sph_center=jnp.asarray(center),
+        sph_radius=jnp.asarray(radius),
+        sph_shape=jnp.zeros(n_sph, jnp.int32),
+        bvh=bvh_mod.empty_bvh(),
+        sph_bvh=sph_bvh,
     )
 
 
@@ -87,6 +113,43 @@ def test_bvh_matches_brute_force_occlusion():
     ray = ray._replace(maxt=jnp.full(ray.o.shape[0], 3.0, jnp.float32))
     g_brute = _soup_geometry(300, seed=11, with_bvh=False)
     g_bvh = _soup_geometry(300, seed=11, with_bvh=True)
+    occ0 = np.asarray(isect.occluded(g_brute, ray))
+    occ1 = np.asarray(isect.occluded(g_bvh, ray))
+    np.testing.assert_array_equal(occ0, occ1)
+
+
+@pytest.mark.parametrize("n_sph", [7, 64, 1000])
+def test_sphere_bvh_matches_brute_force(n_sph):
+    """M4: spheres in an acceleration structure — identical nearest hits to
+    the brute sweep on a 1000-sphere soup (same asymptotics as triangles)."""
+    ray = _rays(512, seed=5)
+    g_brute = _sphere_geometry(n_sph, seed=13, with_bvh=False)
+    g_bvh = _sphere_geometry(n_sph, seed=13, with_bvh=True)
+
+    h0 = isect.intersect(g_brute, ray)
+    h1 = isect.intersect(g_bvh, ray)
+
+    hit0 = np.asarray(h0.prim_kind) != isect.PRIM_NONE
+    hit1 = np.asarray(h1.prim_kind) != isect.PRIM_NONE
+    np.testing.assert_array_equal(hit0, hit1)
+    # near-tangent hits amplify one-ULP fusion differences between the two
+    # compilations through the b²−4ac cancellation (disc ~1e-3 at b² ~1e2
+    # → ~1e-4 in t), so the t comparison is looser than the triangle test
+    np.testing.assert_allclose(
+        np.asarray(h0.t)[hit0], np.asarray(h1.t)[hit1], rtol=1e-3, atol=1e-5
+    )
+    same = np.asarray(h0.prim_id)[hit0] == np.asarray(h1.prim_id)[hit1]
+    ties = np.isclose(
+        np.asarray(h0.t)[hit0], np.asarray(h1.t)[hit1], rtol=1e-3, atol=1e-5
+    )
+    assert np.all(same | ties)
+
+
+def test_sphere_bvh_occlusion():
+    ray = _rays(512, seed=9)
+    ray = ray._replace(maxt=jnp.full(ray.o.shape[0], 4.0, jnp.float32))
+    g_brute = _sphere_geometry(500, seed=17, with_bvh=False)
+    g_bvh = _sphere_geometry(500, seed=17, with_bvh=True)
     occ0 = np.asarray(isect.occluded(g_brute, ray))
     occ1 = np.asarray(isect.occluded(g_bvh, ray))
     np.testing.assert_array_equal(occ0, occ1)
