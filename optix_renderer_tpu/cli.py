@@ -86,7 +86,12 @@ def cmd_render(args) -> int:
                 print(f"  preview @ {spp_done}spp → {out_base}_preview.png")
 
     t0 = time.time()
-    if distributed:
+    if args.serve:
+        # live view + edit loop (the ImguiScreen analog, serve.py)
+        from optix_renderer_tpu.serve import serve_render
+
+        out = serve_render(scene, config, port=args.port)
+    elif distributed:
         import jax
 
         from optix_renderer_tpu.parallel.multihost import render_multihost
@@ -345,6 +350,11 @@ def main(argv=None) -> int:
         "--resume", action="store_true",
         help="continue from --checkpoint if it exists",
     )
+    pr.add_argument(
+        "--serve", action="store_true",
+        help="live-view web server with pause/resume and live property edits",
+    )
+    pr.add_argument("--port", type=int, default=8000, help="port for --serve")
     pr.add_argument("-v", "--verbose", action="store_true")
     _add_distributed_flags(pr)
     pr.set_defaults(fn=cmd_render)

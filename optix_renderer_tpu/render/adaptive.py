@@ -17,6 +17,8 @@ test (adaptive.cpp:95-128).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,7 +31,7 @@ from optix_renderer_tpu.render.variance import variance_from_image
 from optix_renderer_tpu.scene.data import RenderConfig, SceneData
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("n", "seed"))
 def _draw_pixels(variance: jnp.ndarray, round_idx: jnp.ndarray, n: int, seed: int = 0):
     """Categorical draw of n pixel ids ∝ variance (adaptive.cpp:152-166)."""
     d = dpdf_mod.build(variance.reshape(-1))
@@ -56,8 +58,12 @@ def render_adaptive(
     all_ids = jnp.arange(n_pix, dtype=jnp.int32)
 
     acc = jnp.zeros((3, h, w, 4), jnp.float32)
-    old_var = None
-    old_norm = np.inf
+    # convergence state mirrors adaptive.cpp:70-90: old variance starts at
+    # zero (not None) and the norm guard starts high-but-finite, so the
+    # variance-difference test is armed from the *second* adaptive round —
+    # previously old_norm=inf meant the stop could never fire until round 3+
+    old_var = np.zeros((h, w), np.float32)
+    old_norm = 1.0e4
     samples_placed = 0
     var_img = jnp.zeros((h, w), jnp.float32)
 
@@ -67,15 +73,16 @@ def render_adaptive(
         else:
             var_img = variance_from_image(acc[0])
             var_np = np.asarray(var_img)
-            if var_np.max() <= 0.0:
-                break  # flat variance → converged (adaptive.cpp:98-103)
-            var_diff = (
-                np.abs(var_np - old_var).sum() if old_var is not None else np.inf
-            )
+            if var_np.max() - var_np.min() <= 1e-12:
+                break  # flat variance → converged (adaptive.cpp:96-102)
+            # scale-free comparison: unit-norm the map (Eigen .normalize(),
+            # adaptive.cpp:104) so the stop doesn't depend on radiance scale
+            var_unit = var_np / max(float(np.linalg.norm(var_np)), 1e-20)
+            var_diff = float(np.abs(var_unit - old_var).sum())
             if var_diff > old_norm:
                 break  # variance stopped improving (adaptive.cpp:118-123)
             old_norm = var_diff
-            old_var = var_np
+            old_var = var_unit
             ids = _draw_pixels(var_img, jnp.int32(r), n_pix, config.seed).astype(
                 jnp.int32
             )

@@ -239,3 +239,18 @@ def write_png(path: str | Path, image: np.ndarray, tonemap: bool = True) -> None
         img = linear_to_srgb(img)
     img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
     Image.fromarray(img).save(str(path))
+
+
+def encode_png(image: np.ndarray, tonemap: bool = True) -> bytes:
+    """In-memory PNG encode (the live-view frame path, serve.py)."""
+    import io
+
+    from PIL import Image
+
+    img = np.asarray(image, np.float32)
+    if tonemap:
+        img = linear_to_srgb(img)
+    img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
