@@ -197,23 +197,43 @@ def cmd_render(args) -> int:
 def cmd_train_denoiser(args) -> int:
     """Train the learned denoiser on self-rendered noisy/clean pairs
     (Phase-5 deliverable; replaces OptixState.denoiser.cpp's pretrained
-    OptiX model with a checkpoint we own)."""
+    OptiX model with a checkpoint we own). Trains across MULTIPLE scenes
+    (repeat --scene) so the model generalizes past one lighting setup;
+    default = procedural Cornell box + the reference envmap sphere scene."""
     from optix_renderer_tpu.denoise import learned
     from optix_renderer_tpu.scene.presets import make_cornell_box
 
+    scenes = []
     if args.scene:
-        from optix_renderer_tpu.scene.build import build_scene
-        from optix_renderer_tpu.scene.parser import load_from_xml
+        from optix_renderer_tpu.scene.build import load_scene
 
-        scene, config, _ = build_scene(load_from_xml(args.scene))
+        for path in args.scene:
+            scene, config, _ = load_scene(path)
+            config = dataclasses.replace(
+                config, width=args.size, height=args.size * 3 // 4
+            )
+            scenes.append((path, scene, config))
     else:
         scene, config, _ = make_cornell_box(
-            width=args.size, height=args.size, spp=1
+            width=args.size, height=args.size * 3 // 4, spp=1
         )
-    print("rendering training pairs…")
-    pairs = learned.render_training_pairs(
-        scene, config, spps=(2, 4), clean_spp=args.clean_spp
-    )
+        scenes.append(("cornell(builtin)", scene, config))
+        env_xml = Path("/root/reference/scenes/project/envmap/envmap_sphere.xml")
+        if env_xml.exists():
+            from optix_renderer_tpu.scene.build import load_scene
+
+            s2, c2, _ = load_scene(env_xml)
+            c2 = dataclasses.replace(
+                c2, width=args.size, height=args.size * 3 // 4, max_depth=6
+            )
+            scenes.append((str(env_xml), s2, c2))
+
+    pairs = []
+    for name, scene, config in scenes:
+        print(f"rendering training pairs from {name}…")
+        pairs += learned.render_training_pairs(
+            scene, config, spps=(2, 4), clean_spp=args.clean_spp
+        )
     print(f"training on {len(pairs)} pairs, {args.steps} steps…")
     params, losses = learned.train(pairs, steps=args.steps, verbose=True)
     learned.save_checkpoint(args.output, params)
@@ -372,7 +392,10 @@ def main(argv=None) -> int:
     pd = sub.add_parser(
         "train-denoiser", help="train the learned denoiser on self-rendered pairs"
     )
-    pd.add_argument("--scene", help="scene XML (default: built-in Cornell box)")
+    pd.add_argument(
+        "--scene", action="append",
+        help="scene XML, repeatable (default: Cornell box + reference envmap scene)",
+    )
     pd.add_argument("-o", "--output", default="denoiser.npz")
     pd.add_argument("--steps", type=int, default=300)
     pd.add_argument("--size", type=int, default=128)
