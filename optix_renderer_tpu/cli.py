@@ -86,11 +86,19 @@ def cmd_render(args) -> int:
                 print(f"  preview @ {spp_done}spp → {out_base}_preview.png")
 
     t0 = time.time()
+    if config.adaptive and not args.no_adaptive and (distributed or args.sharded or args.serve):
+        # adaptive sampling is single-device only (render/adaptive.py); the
+        # sharded/distributed/serve loops use uniform rounds — say so instead
+        # of silently ignoring the scene's <sampler type="adaptive">
+        print(
+            "warning: adaptive sampler is ignored under "
+            "--sharded/--distributed/--serve (uniform sampling used)"
+        )
     if args.serve:
         # live view + edit loop (the ImguiScreen analog, serve.py)
         from optix_renderer_tpu.serve import serve_render
 
-        out = serve_render(scene, config, port=args.port)
+        out = serve_render(scene, config, port=args.port, host=args.host)
     elif distributed:
         import jax
 
@@ -141,13 +149,17 @@ def cmd_render(args) -> int:
             str(out_base) + "_variance.exr",
             var[..., None].repeat(3, axis=-1),
         )
-    if args.denoise:
+    # scene-attached denoiser (<denoiser type="simple">, W3) runs without a
+    # CLI flag; --denoise overrides the scene's choice
+    scene_denoise = {"simple": "bilateral"}.get(config.denoiser, config.denoiser)
+    denoise_mode = args.denoise or (scene_denoise or None)
+    if denoise_mode:
         import os
 
         import numpy as np
         import jax.numpy as jnp
 
-        mode = args.denoise
+        mode = denoise_mode
         if mode == "learned":
             from optix_renderer_tpu.denoise import learned
 
@@ -180,9 +192,13 @@ def cmd_render(args) -> int:
             film = np.concatenate(
                 [out["composite"], out["weights"][..., None]], axis=-1
             )
+            # scene <denoiser> properties (simple.cpp:29-82) when present
             den = denoise_bilateral(
                 jnp.asarray(out["composite"]),
                 jnp.asarray(variance_from_image(jnp.asarray(film))),
+                sigma_d=float(config.dprop("sigma_d", 1.0)),
+                sigma_vr=float(config.dprop("sigma_vr", 0.6)),
+                inner_range=min(int(config.dprop("range", 1)), 3),
             )
         iio.write_exr(str(out_base) + "_denoised.exr", np.asarray(den))
         iio.write_png(str(out_base) + "_denoised.png", np.asarray(den))
@@ -375,6 +391,11 @@ def main(argv=None) -> int:
         help="live-view web server with pause/resume and live property edits",
     )
     pr.add_argument("--port", type=int, default=8000, help="port for --serve")
+    pr.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address for --serve (loopback by default; the server is "
+        "unauthenticated — use 0.0.0.0 only on trusted networks)",
+    )
     pr.add_argument("-v", "--verbose", action="store_true")
     _add_distributed_flags(pr)
     pr.set_defaults(fn=cmd_render)

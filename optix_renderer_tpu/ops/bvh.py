@@ -256,6 +256,25 @@ def _leaf_tris(o, d, v0, e1, e2):
     return t, u, v, hit
 
 
+def replay_tri(o, d, v0, e1, e2):
+    """Per-lane single-triangle Möller–Trumbore (all [N,3] → t,u,v [N]).
+
+    The differentiable replay of a traversal's winning primitive: same
+    arithmetic as `_leaf_tris`, so values match the walk bit-for-bit while
+    gradients flow through one gather instead of the `lax.while_loop`
+    (which has no reverse-mode rule — round-3 VERDICT M2).
+    """
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    return t, u, v
+
+
 def traverse(
     bvh: Bvh,
     tri_v0: jnp.ndarray,
@@ -271,7 +290,40 @@ def traverse(
     clip (ray.maxt already folded in by the caller). With `any_hit` the walk
     terminates a lane at its first confirmed hit (shadow-ray contract of
     BVH::rayIntersect shadowRay=true, bvh.h:80-81).
+
+    Differentiable (M2): the stackless walk runs on `stop_gradient`-detached
+    inputs — it only *selects* the winning primitive, a discrete decision —
+    and (t, u, v) are then recomputed from the live inputs by a one-triangle
+    replay at the winner, through which reverse-mode AD flows. This is the
+    same detach-discrete/replay-continuous policy the reference's NEE + RR
+    estimators imply (SURVEY §7 hard part 4).
     """
+    sg = jax.lax.stop_gradient
+    t_det, prim_id, _, _, found = _traverse_walk(
+        jax.tree_util.tree_map(sg, bvh),
+        sg(tri_v0), sg(tri_e1), sg(tri_e2),
+        Ray(o=sg(ray.o), d=sg(ray.d), mint=sg(ray.mint), maxt=sg(ray.maxt)),
+        sg(t_init),
+        any_hit,
+    )
+    gid = jnp.maximum(prim_id, 0)
+    t_r, u_r, v_r = replay_tri(ray.o, ray.d, tri_v0[gid], tri_e1[gid], tri_e2[gid])
+    t = jnp.where(found, t_r, t_init)
+    u = jnp.where(found, u_r, 0.0)
+    v = jnp.where(found, v_r, 0.0)
+    return t, prim_id, u, v, found
+
+
+def _traverse_walk(
+    bvh: Bvh,
+    tri_v0: jnp.ndarray,
+    tri_e1: jnp.ndarray,
+    tri_e2: jnp.ndarray,
+    ray: Ray,
+    t_init: jnp.ndarray,
+    any_hit: bool = False,
+):
+    """The raw stackless walk (non-differentiable `lax.while_loop`)."""
     n = ray.o.shape[0]
     n_nodes = bvh.node_min.shape[0]
     L = LEAF_SIZE
@@ -353,6 +405,26 @@ def _leaf_spheres(o, d, mint, best_t, center, radius):
     return jnp.where(in_n, tn, jnp.where(in_f, tf, jnp.float32(3.4e38)))
 
 
+def replay_sphere(o, d, center, radius, t_det):
+    """Differentiable one-sphere replay: recompute the root of the stable
+    quadratic (sphere.cpp:67-124) that the detached walk selected. Root
+    choice (near vs far) is recovered by proximity to the detached t — a
+    discrete decision, so it is itself detached."""
+    oc = o - center
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(oc * d, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-20))  # found lanes have disc > 0
+    q = -0.5 * (b + jnp.sign(b) * sq)
+    t0 = q / a
+    t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1e-20)
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    pick_near = jax.lax.stop_gradient(jnp.abs(tn - t_det) <= jnp.abs(tf - t_det))
+    return jnp.where(pick_near, tn, tf)
+
+
 def traverse_spheres(
     bvh: Bvh,
     center: jnp.ndarray,
@@ -364,8 +436,32 @@ def traverse_spheres(
     """Closest-hit walk of the sphere LBVH. Returns (t, sphere_id, found).
 
     Same stackless escape-link walk as `traverse`; the leaf test is the
-    stable-quadratic sphere intersection instead of Möller–Trumbore.
+    stable-quadratic sphere intersection instead of Möller–Trumbore. Same
+    detach-walk + differentiable-replay structure as `traverse` (M2).
     """
+    sg = jax.lax.stop_gradient
+    t_det, sid, found = _traverse_spheres_walk(
+        jax.tree_util.tree_map(sg, bvh),
+        sg(center), sg(radius),
+        Ray(o=sg(ray.o), d=sg(ray.d), mint=sg(ray.mint), maxt=sg(ray.maxt)),
+        sg(t_init),
+        any_hit,
+    )
+    gid = jnp.maximum(sid, 0)
+    t_r = replay_sphere(ray.o, ray.d, center[gid], radius[gid], t_det)
+    t = jnp.where(found, t_r, t_init)
+    return t, sid, found
+
+
+def _traverse_spheres_walk(
+    bvh: Bvh,
+    center: jnp.ndarray,
+    radius: jnp.ndarray,
+    ray: Ray,
+    t_init: jnp.ndarray,
+    any_hit: bool = False,
+):
+    """The raw sphere-LBVH walk (non-differentiable `lax.while_loop`)."""
     n = ray.o.shape[0]
     n_nodes = bvh.node_min.shape[0]
     L = LEAF_SIZE

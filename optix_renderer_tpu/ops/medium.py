@@ -162,7 +162,7 @@ def sample_interaction(media: Media, med_id, s, ro, rd, t_surface):
 
     mid = jnp.maximum(med_id, 0)
     is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
-    s, t_het = vg.delta_track(media, med_id, s, ro, rd, t_surface)
+    s, t_het, w_score = vg.delta_track(media, med_id, s, ro, rd, t_surface)
     st_max = jnp.max(media.sigma_a[mid] + media.sigma_s[mid], axis=-1)
     w_m_het = media.sigma_s[mid] / jnp.maximum(st_max, 1e-20)[..., None]
     t_het_f = jnp.where(jnp.isfinite(t_het), t_het, 0.0)
@@ -170,11 +170,17 @@ def sample_interaction(media: Media, med_id, s, ro, rd, t_surface):
     w_e_het = (
         1.0 / jnp.maximum(rho * st_max, 1e-12)[..., None] * jnp.ones_like(w_m_het)
     )
+    # differential delta tracking: w_score == 1 with the free-flight-pdf
+    # score gradient attached (volume_grid.delta_track) — scales every
+    # outcome of the heterogeneous free-flight decision
+    w_m_het = w_m_het * w_score[..., None]
+    w_s_het = w_score[..., None] * jnp.ones_like(w_m_het)
+    w_e_het = w_e_het * w_score[..., None]
 
     is_medium = jnp.where(is_het, t_het < t_surface, is_med_h)
     t_event = jnp.where(is_het, t_het, t_med_h)
     w_medium = jnp.where(is_het[..., None], w_m_het, w_m_h)
-    w_surface = jnp.where(is_het[..., None], 1.0, w_s_h)
+    w_surface = jnp.where(is_het[..., None], w_s_het, w_s_h)
     w_emission = jnp.where(is_het[..., None], w_e_het, w_e_h)
     return s, is_medium, t_event, w_medium, w_surface, w_emission
 

@@ -16,8 +16,9 @@ trace) as a single fused kernel:
 
 Differentiability: `pl.pallas_call` has no autodiff rule, but the renderer's
 gradient path (parallel/shard.py train step) differentiates through
-intersection — the public entry `mt_closest_hit` is a `jax.custom_vjp` whose
-backward pass replays the pure-jnp sweep's VJP at the saved inputs.
+intersection — `mt_closest_hit` runs the sweep on detached inputs to select
+the winning triangle, then recomputes (t, u, v) differentiably from the live
+inputs by a one-triangle replay at the winner (see ops/bvh.py replay_tri).
 """
 
 from __future__ import annotations
@@ -180,27 +181,31 @@ def _mt_jnp(o, d, mint, cutoff, v0, e1, e2):
     return t_out, u_out, v_out, idf
 
 
-@jax.custom_vjp
 def mt_closest_hit(o, d, mint, cutoff, v0, e1, e2):
     """Closest-hit of a ray wavefront against a triangle table.
 
-    Pallas forward on TPU; jnp everywhere else (and for the VJP, since
-    pallas_call carries no autodiff rule). Outputs (t, u, v, idf[N] float,
-    −1 = miss, t = cutoff there).
+    Pallas forward on TPU; jnp everywhere else. Outputs (t, u, v, idf[N]
+    float, −1 = miss, t = cutoff there).
+
+    Differentiable by detach-and-replay (round-3 VERDICT W5): the sweep runs
+    on `stop_gradient`-detached inputs (pallas_call has no autodiff rule, and
+    the winner *selection* is discrete anyway); (t, u, v) are then recomputed
+    from the live inputs at the winning triangle, so the backward pass is one
+    gather + ~40 flops per lane — the [N, T] candidate matrix the kernel
+    exists to avoid never materializes under grad either.
     """
+    from optix_renderer_tpu.ops.bvh import replay_tri
+
+    sg = jax.lax.stop_gradient
+    args_det = (sg(o), sg(d), sg(mint), sg(cutoff), sg(v0), sg(e1), sg(e2))
     if jax.default_backend() == "tpu":
-        return _mt_pallas(o, d, mint, cutoff, v0, e1, e2)
-    return _mt_jnp(o, d, mint, cutoff, v0, e1, e2)
-
-
-def _mt_fwd(o, d, mint, cutoff, v0, e1, e2):
-    out = mt_closest_hit(o, d, mint, cutoff, v0, e1, e2)
-    return out, (o, d, mint, cutoff, v0, e1, e2)
-
-
-def _mt_bwd(res, g):
-    _, vjp = jax.vjp(_mt_jnp, *res)
-    return vjp(g)
-
-
-mt_closest_hit.defvjp(_mt_fwd, _mt_bwd)
+        _, _, _, idf = _mt_pallas(*args_det)
+    else:
+        _, _, _, idf = _mt_jnp(*args_det)
+    found = idf >= 0.0
+    gid = jnp.maximum(idf, 0.0).astype(jnp.int32)
+    t_r, u_r, v_r = replay_tri(o, d, v0[gid], e1[gid], e2[gid])
+    t = jnp.where(found, t_r, cutoff)
+    u = jnp.where(found, u_r, 0.0)
+    v = jnp.where(found, v_r, 0.0)
+    return t, u, v, idf

@@ -118,12 +118,33 @@ def _majorant(media, med_id):
 def delta_track(media, med_id, s, ro, rd, t_max):
     """Woodcock/delta tracking to the next real collision.
 
-    Returns (sampler, t_event [N]) with t_event = +inf where the walk escapes
-    `t_max` or the volume bbox (heterogmedium.cpp:105-130 sampleFreePath).
-    Lanes whose medium is not heterogeneous escape immediately.
+    Returns (sampler, t_event [N], w_score [N]) with t_event = +inf where the
+    walk escapes `t_max` or the volume bbox (heterogmedium.cpp:105-130
+    sampleFreePath). Lanes whose medium is not heterogeneous escape
+    immediately.
+
+    w_score is a unit-valued surrogate weight whose gradient
+    is the likelihood-ratio (score-function) derivative of the free-flight
+    pdf w.r.t. c = maxσt·densityScale — differential delta tracking. The walk
+    itself runs detached (`lax.while_loop` has no reverse rule; the event is
+    a discrete decision), and since the null/real acceptance ρ̂/ρ̂max is
+    c-independent, the entire c-dependence of the sampling density is
+    p ∝ M^K e^{−M·Δ} (K tentative steps at majorant rate M = c·ρ̂max over the
+    traversed span Δ), giving ∂c log p = K/c − ρ̂max·Δ. Multiplying w_score
+    into the event weight makes E[∂(w·f)] = ∂E[f] — gradients w.r.t. σ flow
+    through heterogeneous free-flight sampling without differentiating the
+    walk (M2, SURVEY §7 hard part 4).
     """
+    sg = jax.lax.stop_gradient
     n = ro.shape[0]
     from optix_renderer_tpu.scene.data import MediumType
+
+    mid_live = jnp.maximum(med_id, 0)
+    st_max_live = jnp.max(media.sigma_a[mid_live] + media.sigma_s[mid_live], axis=-1)
+    c_live = st_max_live * media.density_scale[mid_live]
+
+    media = jax.tree_util.tree_map(sg, media)
+    ro, rd, t_max = sg(ro), sg(rd), sg(t_max)
 
     mid = jnp.maximum(med_id, 0)
     is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
@@ -137,11 +158,11 @@ def delta_track(media, med_id, s, ro, rd, t_max):
     active0 = is_het & (t0 <= t1) & (M > 1e-12)
 
     def cond(state):
-        _, _, active, _, k = state
+        _, _, active, _, _, k = state
         return jnp.any(active) & (k < MAX_TRACK_STEPS)
 
     def body(state):
-        st, t, active, t_event, k = state
+        st, t, active, t_event, K, k = state
         st, u1 = rng.pcg32_next_float(st)
         st, u2 = rng.pcg32_next_float(st)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / jnp.maximum(M, 1e-20)
@@ -152,13 +173,24 @@ def delta_track(media, med_id, s, ro, rd, t_max):
         real = (rho * st_max / jnp.maximum(M, 1e-20)) >= u2
         hit_now = active & (~escaped) & real
         t_event = jnp.where(hit_now, t_new, t_event)
+        K = jnp.where(active & (~escaped), K + 1.0, K)
         active = active & (~escaped) & (~real)
         t = jnp.where(active, t_new, t)
-        return st, t, active, t_event, k + 1
+        return st, t, active, t_event, K, k + 1
 
-    state = (s.state, t0, active0, jnp.full(n, jnp.inf), jnp.int32(0))
-    st, _, _, t_event, _ = jax.lax.while_loop(cond, body, state)
-    return s._replace(state=st), t_event
+    state = (s.state, t0, active0, jnp.full(n, jnp.inf), jnp.zeros(n), jnp.int32(0))
+    st, _, _, t_event, K, _ = jax.lax.while_loop(cond, body, state)
+
+    # score surrogate: Δ = traversed span (to the event, or to bbox exit on
+    # escape); value exp(0)=1 exactly, ∂c = K/c − ρ̂max·Δ
+    rho_max = _majorant(media, med_id) / jnp.maximum(
+        st_max * media.density_scale[mid], 1e-20
+    )  # = vol_majorant with the reference's 1e-3 scaled-density floor folded in
+    span = jnp.where(jnp.isfinite(t_event), t_event, t1) - t0
+    score = K / jnp.maximum(sg(c_live), 1e-20) - rho_max * span
+    score = jnp.where(active0, score, 0.0)
+    w_score = jnp.exp((c_live - sg(c_live)) * score)
+    return s._replace(state=st), t_event, w_score
 
 
 def ratio_track(media, med_id, s, o, d, dist):
@@ -168,12 +200,36 @@ def ratio_track(media, med_id, s, o, d, dist):
     corrected form of heterogmedium.cpp:152-173 getTransmittance. Achromatic
     (see module docstring); returned as [N,3] for interface symmetry.
     Non-heterog lanes return 1.
+
+    Differentiability (M2): the walk runs fully detached (while_loop), and a
+    naive detach would ALSO kill the σ-gradient — the ratio factor
+    1 − μ(x)/M = 1 − ρ̂/ρ̂max is *independent* of c = maxσt·densityScale
+    because the majorant shares the factor; all c-dependence lives in the
+    detached Poisson sampling (rate M = c·ρ̂max). The unbiased fix is the
+    likelihood-ratio estimator: with K tentative collisions over the clipped
+    segment [t0,t1], ∂c log p = K/c − ρ̂max·(t1−t0), so the return value is
+
+        T_diff = T · exp((c − sg(c)) · sg(K/c − ρ̂max·(t1−t0)))
+
+    whose value is exactly T and whose expected derivative E[T·∂c log p]
+    equals ∂c E[T] = −∫ρ̂ · exp(−c∫ρ̂) — differential ratio tracking.
+    Gradients w.r.t. the raw voxel grid are not propagated (the grid is
+    scene data, not a trainable parameter); the estimator ignores the rare
+    1e-3 majorant floor (heterogmedium.cpp:81), under which the factor would
+    regain c-dependence.
     """
+    sg = jax.lax.stop_gradient
     n = o.shape[0]
     from optix_renderer_tpu.scene.data import MediumType
 
     mid = jnp.maximum(med_id, 0)
     is_het = (med_id >= 0) & (media.type[mid] == MediumType.HETEROG)
+    # differentiable coupling scalar (kept live; everything in-loop detached)
+    st_max_live = jnp.max(media.sigma_a[mid] + media.sigma_s[mid], axis=-1)
+    c_live = st_max_live * media.density_scale[mid]
+
+    media = jax.tree_util.tree_map(sg, media)
+    o, d, dist = sg(o), sg(d), sg(dist)
     vid = jnp.maximum(media.vol_id[mid], 0)
     bmin = media.vol_bbox_min[vid]
     bmax = media.vol_bbox_max[vid]
@@ -183,23 +239,32 @@ def ratio_track(media, med_id, s, o, d, dist):
     active0 = is_het & (t0 <= t1) & (M > 1e-12)
 
     def cond(state):
-        _, _, active, _, k = state
+        _, _, active, _, _, k = state
         return jnp.any(active) & (k < MAX_TRACK_STEPS)
 
     def body(state):
-        st, t, active, T, k = state
+        st, t, active, T, K, k = state
         st, u1 = rng.pcg32_next_float(st)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-38)) / jnp.maximum(M, 1e-20)
         escaped = t_new > t1
         p = o + d * t_new[..., None]
         rho = density_at(media, med_id, p)
         factor = 1.0 - rho * st_max / jnp.maximum(M, 1e-20)
-        T = jnp.where(active & (~escaped), T * jnp.maximum(factor, 0.0), T)
-        active = active & (~escaped) & (T > 1e-6)
+        inside = active & (~escaped)
+        T = jnp.where(inside, T * jnp.maximum(factor, 0.0), T)
+        K = jnp.where(inside, K + 1.0, K)
+        active = inside & (T > 1e-6)
         t = jnp.where(active, t_new, t)
-        return st, t, active, T, k + 1
+        return st, t, active, T, K, k + 1
 
-    state = (s.state, t0, active0, jnp.ones(n), jnp.int32(0))
-    st, _, _, T, _ = jax.lax.while_loop(cond, body, state)
+    state = (s.state, t0, active0, jnp.ones(n), jnp.zeros(n), jnp.int32(0))
+    st, _, _, T, K, _ = jax.lax.while_loop(cond, body, state)
+
+    rho_max = _majorant(media, med_id) / jnp.maximum(
+        st_max * media.density_scale[mid], 1e-20
+    )
+    score = K / jnp.maximum(sg(c_live), 1e-20) - rho_max * jnp.maximum(t1 - t0, 0.0)
+    score = jnp.where(active0, score, 0.0)
+    T = T * jnp.exp((c_live - sg(c_live)) * score)
     T = jnp.where(is_het, T, 1.0)
     return s._replace(state=st), T[..., None] * jnp.ones((n, 3))

@@ -157,6 +157,17 @@ def render_sharded(
     start_round = 0
     if resume and checkpoint_path and os.path.exists(_norm_ckpt_path(checkpoint_path)):
         acc, spp_resumed = load_checkpoint(checkpoint_path, config)
+        if spp_resumed % n_sample_dev != 0:
+            # flooring would deterministically re-render (and double-weight)
+            # samples the checkpoint already contains (advisor round-3
+            # finding): a single-device checkpoint resumed with --sharded, or
+            # a different device count, must be rejected, not corrupted
+            raise ValueError(
+                f"checkpoint holds {spp_resumed} samples, which is not a "
+                f"multiple of this mesh's sample axis ({n_sample_dev}) — "
+                "resume with the original device layout or finish the render "
+                "single-device"
+            )
         start_round = spp_resumed // n_sample_dev
         if verbose:
             print(f"  resumed at sample {spp_resumed} from {checkpoint_path}")

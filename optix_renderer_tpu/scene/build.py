@@ -845,6 +845,17 @@ class _Builder:
             lens_radius = focal_distance / fstop
         cam_to_world = cp.get_transform("toWorld", tf.identity())
 
+        # reconstruction filter child (rfilter.cpp:28-210; the reference
+        # attaches it to the camera, perspective.cpp addChild) — round-3 W2:
+        # parse it into RenderConfig so <rfilter type="mitchell"> etc. are
+        # honored by the splat instead of silently rendering gaussian
+        rf_node = camera.child("rfilter")
+        rfilter = "gaussian"
+        if rf_node is not None:
+            if rf_node.type not in ("gaussian", "mitchell", "tent", "box"):
+                raise SceneBuildError(f"unknown rfilter type '{rf_node.type}'")
+            rfilter = rf_node.type
+
         cam = Camera(
             to_world=_j(cam_to_world),
             fov=_j(fov),
@@ -867,12 +878,29 @@ class _Builder:
                 for k, v in integrator.props.props.items()
                 if isinstance(v, (int, float, bool, str))
             )
+        # scene-level denoiser child (scene.h:41-201 attaches the denoiser to
+        # the scene; scenes/project/denoiser/denoiser-test.xml) — round-3 W3:
+        # record it so render paths run the pass without a CLI flag
+        den_node = self.root.child("denoiser")
+        denoiser = ""
+        dprops = ()
+        if den_node is not None:
+            denoiser = den_node.type or "simple"
+            dprops = tuple(
+                (k, v)
+                for k, v in den_node.props.props.items()
+                if isinstance(v, (int, float, bool, str))
+            )
+
         config = RenderConfig(
             width=width,
             height=height,
             sample_count=sample_count,
             integrator=integ_name,
             iprops=iprops,
+            rfilter=rfilter,
+            denoiser=denoiser,
+            dprops=dprops,
             sampler=(sampler.type if sampler is not None else "independent"),
             adaptive=(sampler is not None and sampler.type == "adaptive"),
             n_tris=int(self.tri_count),

@@ -286,6 +286,17 @@ class RenderConfig:
     # integrator-specific scalar properties as a frozen (key, value) tuple
     # (e.g. av's "length", photonmapper's "photonCount")
     iprops: tuple = ()
+    # scene-attached denoiser (<denoiser type="simple">, scene.h:41-201):
+    # "" = none; "simple" = cross-bilateral (simple.cpp); "learned" = CNN
+    denoiser: str = ""
+    # denoiser properties (sigma_d, sigma_vr, range — simple.cpp:29-82)
+    dprops: tuple = ()
+
+    def dprop(self, key, default=None):
+        for k, v in self.dprops:
+            if k == key:
+                return v
+        return default
 
     def iprop(self, key, default=None):
         for k, v in self.iprops:

@@ -29,6 +29,7 @@ import dataclasses
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -37,6 +38,7 @@ import jax.numpy as jnp
 from optix_renderer_tpu.render import film
 from optix_renderer_tpu.render.render import (
     MAX_LANES,
+    _layers_out,
     preprocess,
     render_round_accumulate,
 )
@@ -122,6 +124,10 @@ class LiveRenderer:
         )
         self.spp_done = 0
         self.status = "starting"
+        # bumped each time accumulation restarts after an applied edit (the
+        # restartRender counter analog); lets clients/tests observe a reset
+        # even when the following rounds outrun their polling cadence
+        self.generation = 0
         self._queue: queue.Queue = queue.Queue()
         self._pause = threading.Event()
         self._stop = threading.Event()
@@ -133,7 +139,12 @@ class LiveRenderer:
 
     def state(self) -> dict:
         with self._lock:
-            return {"status": self.status, "spp_done": self.spp_done, "spp": self.spp}
+            return {
+                "status": self.status,
+                "spp_done": self.spp_done,
+                "spp": self.spp,
+                "generation": self.generation,
+            }
 
     def control(self, op: str) -> None:
         if op == "pause":
@@ -145,9 +156,26 @@ class LiveRenderer:
             self._pause.clear()
 
     def edit(self, kind: str, index: int, value) -> bool:
+        """Validate and enqueue an edit. Returns False (→ HTTP 400) on an
+        unknown kind, an out-of-range index, or a value that cannot broadcast
+        to the target row — a malformed POST must never be able to take down
+        the render loop (advisor round-3 finding)."""
         if kind not in _EDITS:
             return False
-        self._queue.put((kind, int(index), np.asarray(value, np.float32)))
+        get, _ = _EDITS[kind]
+        table = np.asarray(get(self.scene))
+        if not (0 <= int(index) < table.shape[0]):
+            return False
+        row_shape = table[int(index)].shape
+        try:
+            v = np.asarray(value, np.float32).reshape(-1)
+            if v.size == 1:
+                value = np.full(row_shape, v[0], np.float32)  # scalar broadcast
+            else:
+                value = v.reshape(row_shape)  # raises on element-count mismatch
+        except (ValueError, TypeError):
+            return False
+        self._queue.put((kind, int(index), value))
         return True
 
     # ---- render-loop side --------------------------------------------------
@@ -170,11 +198,11 @@ class LiveRenderer:
             table = np.asarray(get(self.scene))
             if not (0 <= index < table.shape[0]):
                 continue
-            value = np.broadcast_to(
-                value.reshape(-1)[: table[index].size].reshape(table[index].shape),
-                table[index].shape,
-            )
-            orig_dtype = np.asarray(get(self.scene)).dtype
+            try:
+                value = np.broadcast_to(value, table[index].shape)
+            except ValueError:
+                continue  # validated in edit(); drop rather than crash the loop
+            orig_dtype = table.dtype
             table = table.copy()
             table[index] = value
             # dtype/shape preserved ⇒ the jitted round is NOT retraced — the
@@ -204,10 +232,13 @@ class LiveRenderer:
                 s_idx = 0
                 with self._lock:
                     self.spp_done = 0
+                    self.generation += 1
             if self._pause.is_set():
                 with self._lock:
                     self.status = "paused"
-                self._pause.wait(0.2)
+                # plain sleep: _pause is SET while paused, so waiting on it
+                # would return immediately and spin (advisor round-3 finding)
+                time.sleep(0.2)
                 continue
             with self._lock:
                 self.status = "rendering"
@@ -220,13 +251,12 @@ class LiveRenderer:
             self._publish(acc)
         with self._lock:
             self.status = "stopped" if self._stop.is_set() else "done"
-        layers = np.asarray(film.to_bitmap(acc))
-        return {
-            "composite": layers[0],
-            "albedo": layers[1],
-            "normal": layers[2],
-            "spp_done": s_idx,
-        }
+        # same output contract as render()/render_sharded() (_layers_out):
+        # includes the filter-weight channel so `--serve --denoise bilateral`
+        # can compute variance (advisor round-3 finding)
+        out = _layers_out(acc)
+        out["spp_done"] = s_idx
+        return out
 
 
 def _make_handler(live: LiveRenderer):
@@ -279,11 +309,16 @@ def serve_render(
     port: int = 8000,
     spp: int | None = None,
     open_msg: bool = True,
+    host: str = "127.0.0.1",
 ) -> dict:
     """Start the HTTP server and run the live render loop in the main thread.
-    Returns the final layers when the render completes or is stopped."""
+    Returns the final layers when the render completes or is stopped.
+
+    Binds to loopback by default: the server is unauthenticated and can stop
+    the render / mutate the scene, so remote access must be an explicit
+    opt-in (`--host 0.0.0.0`)."""
     live = LiveRenderer(scene, config, spp=spp)
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(live))
+    httpd = ThreadingHTTPServer((host, port), _make_handler(live))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     if open_msg:

@@ -117,3 +117,70 @@ def test_reference_scene_parses():
     assert config.n_emitters == 1
     assert config.sample_count == 512
     assert config.integrator == "path_mis"
+
+
+def test_rfilter_child_parsed_and_changes_film(tmp_path):
+    """<rfilter> on the camera reaches RenderConfig (round-3 W2) and a
+    mitchell splat measurably differs from the gaussian default."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from optix_renderer_tpu.scene.build import load_scene
+    from optix_renderer_tpu.render.render import render_round
+
+    xml = """
+<scene>
+  <integrator type="normals"/>
+  <camera type="perspective">
+    <integer name="width" value="24"/><integer name="height" value="18"/>
+    <float name="fov" value="40"/>
+    <rfilter type="mitchell"/>
+  </camera>
+  <shape type="sphere">
+    <point name="center" value="0,0,3"/>
+    <float name="radius" value="1"/>
+  </shape>
+</scene>
+"""
+    f = tmp_path / "s.xml"
+    f.write_text(xml)
+    scene, config, _ = load_scene(f)
+    assert config.rfilter == "mitchell"
+
+    pix = jnp.arange(24 * 18, dtype=jnp.int32)
+    img_m = np.asarray(render_round(scene, config, pix, jnp.int32(0)))
+    cfg_g = dataclasses.replace(config, rfilter="gaussian")
+    img_g = np.asarray(render_round(scene, cfg_g, pix, jnp.int32(0)))
+    # the sphere must actually be in view (camera looks along +z): the
+    # filters must differ in the RADIANCE channels, not merely the weights
+    assert np.abs(img_m[0, ..., :3]).max() > 0
+    assert not np.allclose(img_m[0, ..., :3], img_g[0, ..., :3])
+
+
+def test_denoiser_child_parsed(tmp_path):
+    """Scene-level <denoiser type="simple"> lands in RenderConfig with its
+    properties (round-3 W3; scene.h denoiser attach)."""
+    from optix_renderer_tpu.scene.build import load_scene
+
+    xml = """
+<scene>
+  <integrator type="normals"/>
+  <camera type="perspective">
+    <integer name="width" value="8"/><integer name="height" value="8"/>
+  </camera>
+  <denoiser type="simple">
+    <float name="sigma_d" value="6.0"/>
+    <float name="sigma_vr" value="1.5"/>
+    <integer name="range" value="7"/>
+  </denoiser>
+</scene>
+"""
+    f = tmp_path / "s.xml"
+    f.write_text(xml)
+    _, config, _ = load_scene(f)
+    assert config.denoiser == "simple"
+    assert config.dprop("sigma_d") == 6.0
+    assert config.dprop("sigma_vr") == 1.5
+    assert config.dprop("range") == 7

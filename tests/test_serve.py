@@ -85,13 +85,14 @@ def test_live_view_edit_loop():
             ).encode(),
         )
         _post(port, "/control", b"resume")
+        # the generation counter observes the restart even when subsequent
+        # rounds outrun this poll loop's cadence
         deadline = time.time() + 300
         saw_reset = False
         while time.time() < deadline:
             st = json.loads(_get(port, "/status"))
-            if st["spp_done"] in (1, 2) and st["status"] == "rendering":
+            if st["generation"] >= 1 and st["spp_done"] >= 2:
                 saw_reset = True
-            if saw_reset and st["spp_done"] >= 2:
                 break
             time.sleep(0.2)
         assert saw_reset, "accumulation never restarted after the edit"
@@ -123,6 +124,16 @@ def test_edit_tables_apply():
         assert live.edit("bsdf_alpha", 0, [0.42])
         assert live._apply_edits()
         assert abs(float(np.asarray(live.scene.bsdfs.alpha)[0]) - 0.42) < 1e-6
-    # out-of-range index is a no-op
-    assert live.edit("emitter_radiance", 999, [1, 1, 1])
+    # out-of-range index is rejected at the API boundary (HTTP 400), before
+    # it can reach the render loop
+    assert not live.edit("emitter_radiance", 999, [1, 1, 1])
+    # short/mismatched values are rejected too (advisor round-3 finding):
+    # a 2-element value cannot fill a 3-vector row
+    assert not live.edit("emitter_radiance", 0, [1.0, 2.0])
+    # a scalar broadcasts
+    assert live.edit("emitter_radiance", 0, [2.5])
+    assert live._apply_edits()
+    np.testing.assert_allclose(
+        np.asarray(live.scene.emitters.radiance)[0], [2.5, 2.5, 2.5]
+    )
     assert not live._apply_edits()

@@ -85,22 +85,29 @@ def test_velocity_grid_skipped(fluid_grids):
     assert set(fluid_grids) == {"density", "temperature"}
 
 
-def test_load_volume_vdb_path(tmp_path):
-    """scene/volume_io.py .vdb path end-to-end, including the .npz cache."""
+def test_load_volume_vdb_path(tmp_path, monkeypatch):
+    """scene/volume_io.py .vdb path end-to-end, including the .npz cache.
+
+    The conversion cache lives under ORT_CACHE_DIR (default
+    ~/.cache/optix_renderer_tpu/vdb), never beside the source — scene trees
+    may be read-only checkouts (volume_io._load_vdb_cached)."""
+    import os
     import shutil
 
+    monkeypatch.setenv("ORT_CACHE_DIR", str(tmp_path / "cache"))
     local = tmp_path / "fluid.vdb"
     shutil.copy(FLUID, local)
     v1 = load_volume(local)
     assert v1.temperature is not None
     assert v1.density.shape == v1.temperature.shape
-    cache = local.with_suffix(".cache.npz")
-    assert cache.exists()
+    # cache file lands in the user cache dir, keyed by source path
+    cached = list((tmp_path / "cache" / "vdb").glob("fluid-*.npz"))
+    assert len(cached) == 1
+    # nothing written beside the source
+    assert list(tmp_path.glob("*.npz")) == []
     v2 = load_volume(local)  # cache hit
     assert np.array_equal(v1.density, v2.density)
     # mtime invalidation: touching the source forces a re-read
-    import os
-
     os.utime(local, ns=(1, 1))
     v3 = load_volume(local)
     assert np.array_equal(v1.density, v3.density)
