@@ -30,32 +30,25 @@ BASELINE_MPATHS = 1.6  # reference CPU Cornell path-MIS, BASELINE.md
 
 
 def _run(scene, config, spp: int) -> float:
-    """Render spp samples with the production loop; returns Mpaths/s."""
-    from optix_renderer_tpu.render.render import render_round_accumulate, preprocess
+    """Render spp samples with the production path; returns Mpaths/s.
 
-    scene = preprocess(scene, config)
-    w, h = config.width, config.height
-    n_pix = w * h
-    chunk = min(1 << 19, n_pix)
-    n_chunks = (n_pix + chunk - 1) // chunk
-    pad = n_chunks * chunk - n_pix
-    ids = np.concatenate(
-        [np.arange(n_pix, dtype=np.int32), np.full(pad, -(1 << 20), np.int32)]
-    ).reshape(n_chunks, chunk)
-    ids = jnp.asarray(ids)
+    HONEST TIMING: through the axon tunnel `block_until_ready` returns
+    without waiting for device execution (measured: 20 chained 8192³ matmuls
+    "finish" in 0.9 ms), so every timing loop must end with a host fetch of
+    the result. Earlier rounds' published numbers used block_until_ready and
+    measured dispatch rate, not render rate.
+    """
+    from optix_renderer_tpu.render.render import render
 
-    acc = jnp.zeros((3, h, w, 4), jnp.float32)
-    # warmup / compile
-    acc = render_round_accumulate(acc, scene, config, ids[0], jnp.int32(0))
-    acc.block_until_ready()
+    # warmup / compile (1 spp), with a forced fetch
+    out = render(scene, config, sample_count=1)
+    _ = np.asarray(out["composite"]).ravel()[0]
 
     t0 = time.time()
-    for s in range(spp):
-        for c in range(n_chunks):
-            acc = render_round_accumulate(acc, scene, config, ids[c], jnp.int32(s + 1))
-    acc.block_until_ready()
+    out = render(scene, config, sample_count=spp)
+    _ = np.asarray(out["composite"]).ravel()[0]  # render() already fetches; belt+braces
     dt = time.time() - t0
-    return n_pix * spp / dt / 1e6
+    return config.width * config.height * spp / dt / 1e6
 
 
 def bench_cornell() -> float:
@@ -70,10 +63,13 @@ def bench_cornell() -> float:
 def bench_mesh100k():
     from optix_renderer_tpu.scene.presets import make_tessellated_cornell
 
-    scene, config, _ = make_tessellated_cornell(width=800, height=600, spp=1,
+    # honest timing makes the gather-bound LBVH path expensive to measure at
+    # full frame; 400×300 @ 1 spp keeps the bench under a minute while still
+    # measuring the traversal (BENCH_DETAILS carries the config)
+    scene, config, _ = make_tessellated_cornell(width=400, height=300, spp=1,
                                                 integrator="path_mis")
-    config = dataclasses.replace(config, max_depth=16)
-    mpaths = _run(scene, config, spp=4)
+    config = dataclasses.replace(config, max_depth=8)
+    mpaths = _run(scene, config, spp=1)
 
     # primary-ray closest-hit rate through the LBVH
     from functools import partial
@@ -82,7 +78,7 @@ def bench_mesh100k():
     from optix_renderer_tpu.ops.intersect import intersect
     from optix_renderer_tpu.render import sampler as smp
 
-    n = 1 << 18
+    n = 1 << 17
 
     @partial(jax.jit, static_argnames=())
     def primaries(scene, ids, salt):
@@ -96,11 +92,11 @@ def bench_mesh100k():
         return hit.t.sum() + hit.prim_id.sum()
 
     ids = jnp.arange(n, dtype=jnp.int32) % (800 * 600)
-    primaries(scene, ids, jnp.uint32(0)).block_until_ready()
-    reps = 50
+    float(primaries(scene, ids, jnp.uint32(0)))  # compile + fetch
+    reps = 5
     t0 = time.time()
     outs = [primaries(scene, ids, jnp.uint32(i)) for i in range(reps)]
-    jax.block_until_ready(outs)
+    _ = [float(o) for o in outs]  # host fetches — block_until_ready is a no-op here
     mrays = n * reps / (time.time() - t0) / 1e6
     return mpaths, mrays, int(scene.geometry.tri_v0.shape[0])
 
@@ -112,8 +108,8 @@ def bench_heterog() -> float | None:
     from optix_renderer_tpu.scene.build import load_scene
 
     scene, config, _ = load_scene(xml)
-    config = dataclasses.replace(config, width=800, height=600, max_depth=16)
-    return _run(scene, config, spp=4)
+    config = dataclasses.replace(config, width=400, height=300, max_depth=8)
+    return _run(scene, config, spp=1)
 
 
 def main():

@@ -55,6 +55,15 @@ class Bvh(NamedTuple):
     `skip[i]` is the next node when the subtree of `i` is done (escape link).
     `first[i]` is the offset of a leaf's primitives in `prim` (−1 for interior
     nodes). Every leaf owns exactly LEAF_SIZE slots in `prim`, padded with −1.
+
+    `packed`/`leaf` are gather-optimized copies: the traversal walk is
+    HBM-gather-bound on TPU (one XLA gather per array per step), so node
+    fields are packed into ONE [Nn,8] row (min·3, max·3, skip, first — int32
+    links bitcast into the float32 row) and each leaf's primitive data into
+    ONE row of `leaf` (triangles: LEAF_SIZE×(v0,e1,e2, id_bits) = 40 cols;
+    spheres: LEAF_SIZE×(center, radius, id_bits) = 20 cols). This cuts the
+    walk from 8 gathers per step to 2 — the TPU analog of the reference's
+    32-byte cache-line node layout (include/nori/bvh.h:127-164).
     """
 
     node_min: jnp.ndarray  # [Nn,3]
@@ -62,12 +71,65 @@ class Bvh(NamedTuple):
     skip: jnp.ndarray  # [Nn] int32
     first: jnp.ndarray  # [Nn] int32 (−1 for interior)
     prim: jnp.ndarray  # [n_leaves*LEAF_SIZE] int32 triangle ids (−1 pad)
+    packed: jnp.ndarray  # [Nn,8] float32 packed nodes
+    leaf: jnp.ndarray  # [n_leaves, C] float32 packed per-leaf primitive data
 
 
 def empty_bvh() -> Bvh:
     z3 = jnp.zeros((0, 3), jnp.float32)
     zi = jnp.zeros((0,), jnp.int32)
-    return Bvh(node_min=z3, node_max=z3, skip=zi, first=zi, prim=zi)
+    return Bvh(
+        node_min=z3,
+        node_max=z3,
+        skip=zi,
+        first=zi,
+        prim=zi,
+        packed=jnp.zeros((0, 8), jnp.float32),
+        leaf=jnp.zeros((0, 40), jnp.float32),
+    )
+
+
+def _pack_nodes(node_min, node_max, skip, first) -> np.ndarray:
+    """[Nn,8]: min(3) | max(3) | skip bits | first bits (host numpy)."""
+    n_nodes = node_min.shape[0]
+    packed = np.empty((n_nodes, 8), np.float32)
+    packed[:, 0:3] = node_min
+    packed[:, 3:6] = node_max
+    packed[:, 6] = skip.astype(np.int32).view(np.float32)
+    packed[:, 7] = first.astype(np.int32).view(np.float32)
+    return packed
+
+
+def _pack_tri_leaves(prim, v0, e1, e2, leaf_size: int) -> np.ndarray:
+    """[n_leaves, leaf_size*10]: per slot v0(3) e1(3) e2(3) id_bits(1).
+
+    Pad slots (id −1) carry e1=e2=0 so Möller–Trumbore's det==0 rejects them.
+    """
+    n_leaves = prim.shape[0] // leaf_size
+    ids = prim.reshape(n_leaves, leaf_size)
+    gid = np.maximum(ids, 0)
+    slot = np.empty((n_leaves, leaf_size, 10), np.float32)
+    valid = (ids >= 0)[..., None]
+    slot[:, :, 0:3] = v0[gid]
+    slot[:, :, 3:6] = np.where(valid, e1[gid], 0.0)
+    slot[:, :, 6:9] = np.where(valid, e2[gid], 0.0)
+    slot[:, :, 9] = ids.astype(np.int32).view(np.float32)
+    return slot.reshape(n_leaves, leaf_size * 10)
+
+
+def _pack_sphere_leaves(prim, center, radius, leaf_size: int) -> np.ndarray:
+    """[n_leaves, leaf_size*5]: per slot center(3) radius(1) id_bits(1).
+
+    Pad slots (id −1) are rejected by the walk's id mask; their radius is 0
+    only to keep the arithmetic finite."""
+    n_leaves = prim.shape[0] // leaf_size
+    ids = prim.reshape(n_leaves, leaf_size)
+    gid = np.maximum(ids, 0)
+    slot = np.empty((n_leaves, leaf_size, 5), np.float32)
+    slot[:, :, 0:3] = center[gid]
+    slot[:, :, 3] = np.where(ids >= 0, radius[gid], 0.0)
+    slot[:, :, 4] = ids.astype(np.int32).view(np.float32)
+    return slot.reshape(n_leaves, leaf_size * 5)
 
 
 # ---------------------------------------------------------------------------
@@ -194,29 +256,46 @@ def build_lbvh_numpy(
 
 
 def build_bvh(v0, v1, v2, leaf_size: int = LEAF_SIZE) -> Bvh:
-    """Host build → device arrays."""
-    node_min, node_max, skip, first, prim = build_lbvh_host(
-        np.asarray(v0), np.asarray(v1), np.asarray(v2), leaf_size
-    )
+    """Host build → device arrays (triangle leaf packing)."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    node_min, node_max, skip, first, prim = build_lbvh_host(v0, v1, v2, leaf_size)
+    leaf = _pack_tri_leaves(prim, v0, v1 - v0, v2 - v0, leaf_size)
     return Bvh(
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),
         skip=jnp.asarray(skip, jnp.int32),
         first=jnp.asarray(first, jnp.int32),
         prim=jnp.asarray(prim, jnp.int32),
+        packed=jnp.asarray(_pack_nodes(node_min, node_max, skip, first)),
+        leaf=jnp.asarray(leaf),
     )
 
 
 def build_sphere_bvh(center, radius, leaf_size: int = LEAF_SIZE) -> Bvh:
     """LBVH over analytic spheres (bvh.h:43-171 indexes all shapes' prims).
 
-    Reuses the triangle builder unchanged: it derives each primitive's AABB
-    from three points, and (c−r, c+r, c) spans exactly the sphere's AABB —
-    so the same native/numpy code paths serve both primitive kinds.
+    Reuses the triangle tree builder unchanged: it derives each primitive's
+    AABB from three points, and (c−r, c+r, c) spans exactly the sphere's
+    AABB — so the same native/numpy code paths serve both primitive kinds.
+    Leaf rows pack (center, radius, id) instead of triangle data.
     """
     c = np.asarray(center, np.float32)
-    r = np.asarray(radius, np.float32)[:, None]
-    return build_bvh(c - r, c + r, c, leaf_size)
+    r = np.asarray(radius, np.float32)
+    node_min, node_max, skip, first, prim = build_lbvh_host(
+        c - r[:, None], c + r[:, None], c, leaf_size
+    )
+    leaf = _pack_sphere_leaves(prim, c, r, leaf_size)
+    return Bvh(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        skip=jnp.asarray(skip, jnp.int32),
+        first=jnp.asarray(first, jnp.int32),
+        prim=jnp.asarray(prim, jnp.int32),
+        packed=jnp.asarray(_pack_nodes(node_min, node_max, skip, first)),
+        leaf=jnp.asarray(leaf),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -323,13 +402,20 @@ def _traverse_walk(
     t_init: jnp.ndarray,
     any_hit: bool = False,
 ):
-    """The raw stackless walk (non-differentiable `lax.while_loop`)."""
+    """The raw stackless walk (non-differentiable `lax.while_loop`).
+
+    Gather-optimized: ONE packed-node row gather + ONE packed-leaf row gather
+    per step (the walk is HBM-gather-bound; see Bvh.packed). `tri_v0/e1/e2`
+    are unused here — the leaf rows carry the triangle data — but stay in the
+    signature for the differentiable replay wrapper.
+    """
+    del tri_v0, tri_e1, tri_e2
     n = ray.o.shape[0]
-    n_nodes = bvh.node_min.shape[0]
+    n_nodes = bvh.packed.shape[0]
     L = LEAF_SIZE
 
     inv_d = 1.0 / jnp.where(jnp.abs(ray.d) > 1e-20, ray.d, 1e-20)
-    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(n)
 
     def cond(state):
         node = state[0]
@@ -339,21 +425,24 @@ def _traverse_walk(
         node, best_t, best_id, best_u, best_v, found = state
         active = node < n_nodes
         nid = jnp.minimum(node, n_nodes - 1)
-        bmin = bvh.node_min[nid]
-        bmax = bvh.node_max[nid]
+        nrow = bvh.packed[nid]  # [N,8] single node gather
+        bmin, bmax = nrow[:, 0:3], nrow[:, 3:6]
+        skip = jax.lax.bitcast_convert_type(nrow[:, 6], jnp.int32)
+        fi = jax.lax.bitcast_convert_type(nrow[:, 7], jnp.int32)
         hit_box = active & _slab(ray.o, inv_d, bmin, bmax, ray.mint, best_t)
-        fi = bvh.first[nid]
         is_leaf = fi >= 0
         do_leaf = hit_box & is_leaf
 
-        pids = bvh.prim[jnp.where(do_leaf, fi, 0)[:, None] + lane]  # [N,L]
+        leaf_idx = jnp.where(do_leaf, fi // L, 0)
+        slot = bvh.leaf[leaf_idx].reshape(n, L, 10)  # [N,L,10] single gather
+        pids = jax.lax.bitcast_convert_type(slot[..., 9], jnp.int32)
         ok = do_leaf[:, None] & (pids >= 0)
-        gid = jnp.maximum(pids, 0)
-        t, u, v, h = _leaf_tris(ray.o, ray.d, tri_v0[gid], tri_e1[gid], tri_e2[gid])
+        t, u, v, h = _leaf_tris(
+            ray.o, ray.d, slot[..., 0:3], slot[..., 3:6], slot[..., 6:9]
+        )
         h = h & ok & (t >= ray.mint[:, None]) & (t < best_t[:, None])
         t_masked = jnp.where(h, t, jnp.float32(3.4e38))
         j = jnp.argmin(t_masked, axis=-1)
-        rows = jnp.arange(n)
         tj = t_masked[rows, j]
         better = tj < best_t
         best_t = jnp.where(better, tj, best_t)
@@ -362,7 +451,7 @@ def _traverse_walk(
         best_v = jnp.where(better, v[rows, j], best_v)
         found = found | better
 
-        nxt = jnp.where(hit_box & ~is_leaf, node + 1, bvh.skip[nid])
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, skip)
         nxt = jnp.where(active, nxt, node)
         if any_hit:
             nxt = jnp.where(found, n_nodes, nxt)
@@ -461,13 +550,16 @@ def _traverse_spheres_walk(
     t_init: jnp.ndarray,
     any_hit: bool = False,
 ):
-    """The raw sphere-LBVH walk (non-differentiable `lax.while_loop`)."""
+    """The raw sphere-LBVH walk (non-differentiable `lax.while_loop`).
+
+    Same 2-gather-per-step packing as `_traverse_walk`; `center`/`radius`
+    stay in the signature for the differentiable replay wrapper."""
+    del center, radius
     n = ray.o.shape[0]
-    n_nodes = bvh.node_min.shape[0]
+    n_nodes = bvh.packed.shape[0]
     L = LEAF_SIZE
 
     inv_d = 1.0 / jnp.where(jnp.abs(ray.d) > 1e-20, ray.d, 1e-20)
-    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
     rows = jnp.arange(n)
 
     def cond(state):
@@ -477,18 +569,21 @@ def _traverse_spheres_walk(
         node, best_t, best_id, found = state
         active = node < n_nodes
         nid = jnp.minimum(node, n_nodes - 1)
+        nrow = bvh.packed[nid]  # [N,8]
+        skip = jax.lax.bitcast_convert_type(nrow[:, 6], jnp.int32)
+        fi = jax.lax.bitcast_convert_type(nrow[:, 7], jnp.int32)
         hit_box = active & _slab(
-            ray.o, inv_d, bvh.node_min[nid], bvh.node_max[nid], ray.mint, best_t
+            ray.o, inv_d, nrow[:, 0:3], nrow[:, 3:6], ray.mint, best_t
         )
-        fi = bvh.first[nid]
         is_leaf = fi >= 0
         do_leaf = hit_box & is_leaf
 
-        pids = bvh.prim[jnp.where(do_leaf, fi, 0)[:, None] + lane]  # [N,L]
+        leaf_idx = jnp.where(do_leaf, fi // L, 0)
+        slot = bvh.leaf[leaf_idx].reshape(n, L, 5)  # [N,L,5]
+        pids = jax.lax.bitcast_convert_type(slot[..., 4], jnp.int32)
         ok = do_leaf[:, None] & (pids >= 0)
-        gid = jnp.maximum(pids, 0)
         t_cand = _leaf_spheres(
-            ray.o, ray.d, ray.mint, best_t, center[gid], radius[gid]
+            ray.o, ray.d, ray.mint, best_t, slot[..., 0:3], slot[..., 3]
         )
         t_cand = jnp.where(ok, t_cand, jnp.float32(3.4e38))
         j = jnp.argmin(t_cand, axis=-1)
@@ -498,7 +593,7 @@ def _traverse_spheres_walk(
         best_id = jnp.where(better, pids[rows, j], best_id)
         found = found | better
 
-        nxt = jnp.where(hit_box & ~is_leaf, node + 1, bvh.skip[nid])
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, skip)
         nxt = jnp.where(active, nxt, node)
         if any_hit:
             nxt = jnp.where(found, n_nodes, nxt)

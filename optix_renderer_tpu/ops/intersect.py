@@ -121,12 +121,23 @@ def intersect(geom: Geometry, ray: Ray, any_hit: bool = False) -> Hit:
             v=bv,
         )
     elif n_tris > 0:
-        # Pallas Möller–Trumbore megakernel on TPU (jnp sweep elsewhere and
-        # under grad); the min-reduction is fused — see ops/pallas/mt_kernel.
-        bt, bu, bv, idf = mt_closest_hit(
-            ray.o, ray.d, ray.mint, best.t,
-            geom.tri_v0, geom.tri_e1, geom.tri_e2,
-        )
+        if geom.tri_mxu is not None and jax.default_backend() == "tpu":
+            # MXU matmul brute force (ops/pallas/mxu_intersect.py): MT as a
+            # [16-feature] matmul on the systolic array — the fastest path
+            # on TPU for small/medium meshes (detach-and-replay under grad)
+            from optix_renderer_tpu.ops.pallas.mxu_intersect import mxu_closest_hit
+
+            bt, bu, bv, idf = mxu_closest_hit(
+                ray.o, ray.d, ray.mint, best.t,
+                geom.tri_v0, geom.tri_e1, geom.tri_e2, geom.tri_mxu,
+            )
+        else:
+            # Pallas Möller–Trumbore sweep on TPU (jnp sweep elsewhere); the
+            # min-reduction is fused — see ops/pallas/mt_kernel.
+            bt, bu, bv, idf = mt_closest_hit(
+                ray.o, ray.d, ray.mint, best.t,
+                geom.tri_v0, geom.tri_e1, geom.tri_e2,
+            )
         bf = idf >= 0.0
         best = Hit(
             t=bt,

@@ -1,0 +1,1317 @@
+"""Fused path-tracing megakernel: the whole bounce loop in ONE pallas_call.
+
+The TPU reincarnation of the reference's OptiX megakernel
+(`__raygen__perspective` + `__closesthit__radiance`,
+include/nori/optix/cuda/raygen.cpp:75-147, shading.cpp:62-93) — and the
+fulfilment of the BASELINE north star ("BVH build + traversal, ray-triangle
+intersection, BSDF sample/eval, NEE with MIS ... are all Pallas kernels"):
+
+* camera rays + pcg32 sampler states enter in strip layout [8, L]; the
+  `max_depth`-bounce `path_mis`/`path_mats` loop runs as a `fori_loop`
+  INSIDE the kernel — zero XLA ops per bounce;
+* closest-hit and shadow rays use the MXU matmul form of Möller–Trumbore
+  (ops/pallas/mxu_intersect.py): per-sublane [TC,16]@[16,L] contractions at
+  HIGHEST precision;
+* per-hit attributes (shading normals, UVs, BSDF params, emitter link) are
+  fetched by ONE-HOT MATMULS against a per-triangle attribute table — the
+  TPU-native analog of the reference's SBT hit-group records
+  (OptixState.cpp:344-411): no gathers anywhere;
+* BSDF sample/eval/pdf (diffuse, mirror, dielectric, Beckmann microfacet —
+  src/bsdf/*.cpp semantics via ops/bsdf.py) and NEE with the balance
+  heuristic (path_mis.cpp:74-140) are inlined component-wise;
+* pcg32 draws reuse core/rng.py verbatim (validated bit-exact in-kernel),
+  with the same per-(pixel,sample) streams as the XLA path — so the two
+  backends are statistically identical and differ only in FP association.
+
+Scenes are eligible (see `mega_eligible`) when geometry is ≤MAX_MXU_TRIS
+triangles, materials are the four classic BSDFs with constant textures, and
+emitters are area/point (+ constant envmap). Everything else falls back to
+the general XLA wavefront path — the same graceful-degradation contract as
+the reference's GPU→CPU fallback (render.cpp:567-573).
+
+Why a megakernel at all: on this backend each XLA op costs ~0.3-1 ms at
+wavefront sizes and jit-boundary outputs stream at ~170 MB/s (measured —
+BASELINE.md "backend cost model"), so the scan integrator's ~2500-op graph
+costs seconds regardless of FLOPs. One Pallas call is bounded by real
+compute + one dispatch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from optix_renderer_tpu.core import rng
+
+S = 8  # sublane strips per block
+L = 512  # lanes per strip (rays per block = S*L = 4096)
+BIG = 3.4e38
+EPS = 1e-4
+PI = 3.14159265358979
+INV_PI = 1.0 / PI
+HP = jax.lax.Precision.HIGHEST
+# Mosaic supports only DEFAULT and HIGHEST dot precision; DEFAULT (bf16
+# single-pass) corrupts the large o⊗d features, so selection matmuls run at
+# HIGHEST too. The winner's t/u/v are still recomputed exactly per lane
+# from the fetched v0/e1/e2 (the in-kernel analog of detach-and-replay) —
+# shading accuracy does not depend on the matmul path.
+SP = jax.lax.Precision.HIGHEST
+
+# BSDF type codes — must match scene/data.py BsdfType
+BSDF_DIFFUSE = 0
+BSDF_MIRROR = 1
+BSDF_DIELECTRIC = 2
+BSDF_MICROFACET = 3
+
+# emitter type codes — must match scene/data.py EmitterType
+EM_POINT = 0
+EM_AREA = 2
+EM_ENVMAP = 3
+
+# attribute-table columns (transposed [A, Tpad] on device)
+A_COLS = 40
+# 0:3 n_g (unit), 3:6 n0, 6:9 dn1, 9:12 dn2, 12:14 uv0, 14:16 duv1,
+# 16:18 duv2, 18 bsdf_type, 19 alpha, 20 int_ior, 21 ext_ior, 22 ks,
+# 23:26 kd, 26:29 albedo, 29 emitter_id, 30:33 v0, 33:36 e1, 36:39 e2,
+# 39 pad — v0/e1/e2 feed the exact per-winner Möller–Trumbore refine
+
+# emissive-triangle table columns (transposed [ET_COLS, TEpad])
+ET_COLS = 24
+# 0:3 v0, 3:6 e1, 6:9 e2, 9:12 n0, 12:15 dn1, 15:18 dn2, 18 cdf,
+# 19 emitter_id, 20 cdf_lo (previous cdf, for sampleReuse), 21:24 pad
+
+# emitter-row columns (SMEM [E, ER_COLS])
+ER_COLS = 16
+# 0 type, 1:4 radiance, 4:7 position, 7:10 power, 10 area_total,
+# 11 pick_pdf, 12 pick_cdf, 13:16 pad
+
+
+# ---------------------------------------------------------------------------
+# small vector algebra on (x, y, z) triples of [S, L] arrays
+# ---------------------------------------------------------------------------
+
+
+def vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def vcross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def vscale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def vadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def vsub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def vneg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def vwhere(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+def vnormalize(a):
+    n2 = vdot(a, a)
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+    return vscale(a, inv)
+
+
+def safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def onb(n):
+    """Duff et al. branchless ONB (same construction as core/math.make_frame)."""
+    nx, ny, nz = n
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    s = (1.0 + sign * nx * nx * a, sign * b, -sign * nx)
+    t = (b, sign + ny * ny * a, -ny)
+    return s, t
+
+
+def to_local(sf, tf, nf, w):
+    return (vdot(sf, w), vdot(tf, w), vdot(nf, w))
+
+
+def to_world(sf, tf, nf, wl):
+    return (
+        sf[0] * wl[0] + tf[0] * wl[1] + nf[0] * wl[2],
+        sf[1] * wl[0] + tf[1] * wl[1] + nf[1] * wl[2],
+        sf[2] * wl[0] + tf[2] * wl[1] + nf[2] * wl[2],
+    )
+
+
+def fresnel_dielectric(cos_i, ext_ior, int_ior):
+    """common.h:275 fresnel(), component form; handles both sides."""
+    ei = jnp.where(cos_i >= 0.0, ext_ior, int_ior)
+    et = jnp.where(cos_i >= 0.0, int_ior, ext_ior)
+    ci = jnp.abs(cos_i)
+    eta = ei / et
+    sin_t2 = eta * eta * jnp.maximum(0.0, 1.0 - ci * ci)
+    tir = sin_t2 >= 1.0
+    ct = safe_sqrt(1.0 - sin_t2)
+    rs = (ei * ci - et * ct) / jnp.maximum(jnp.abs(ei * ci + et * ct), 1e-12)
+    rp = (et * ci - ei * ct) / jnp.maximum(jnp.abs(et * ci + ei * ct), 1e-12)
+    f = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, f)
+
+
+# ---------------------------------------------------------------------------
+# host-side table packing
+# ---------------------------------------------------------------------------
+
+
+def mega_eligible(scene, config) -> bool:
+    """Can this (scene, config) run in the megakernel?
+
+    The fallback contract mirrors the reference GPU backend's partial
+    coverage (its device shaders stub dielectric/microfacet/disney and most
+    emitters, shaders/bsdf.h:21-99) — except our fallback is the fully
+    general XLA path rather than a black image.
+    """
+    import numpy as _np
+
+    g = scene.geometry
+    if g.tri_mxu is None or g.tri_v0.shape[0] == 0:
+        return False
+    n_sph = int(g.sph_center.shape[0])
+    if n_sph > 64:
+        return False  # sphere LBVH territory → XLA path
+    if n_sph:
+        sph_em = _np.asarray(scene.shapes.emitter)[_np.asarray(g.sph_shape)]
+        if _np.any(sph_em >= 0):
+            return False  # sphere-area emitters → XLA path
+    if config.integrator not in ("path_mis", "path_mats"):
+        return False
+    sh = scene.shapes
+    if _np.any(_np.asarray(sh.interior_medium) >= 0) or _np.any(
+        _np.asarray(sh.exterior_medium) >= 0
+    ):
+        return False
+    if int(scene.ambient_medium) >= 0:
+        return False
+    if _np.any(_np.asarray(sh.normal_tex) >= 0):
+        return False
+    bt = _np.asarray(scene.bsdfs.type)
+    if bt.size and bt.max() > BSDF_MICROFACET:
+        return False  # disney → XLA path
+    # constant textures only (albedo of diffuse)
+    tex_t = _np.asarray(scene.textures.type)
+    used = _np.asarray(scene.bsdfs.albedo_tex)
+    used = used[used >= 0]
+    if used.size and _np.any(tex_t[used] != 0):
+        return False
+    et = _np.asarray(scene.emitters.type)
+    if et.size == 0:
+        return False
+    for e in et:
+        if e not in (EM_POINT, EM_AREA, EM_ENVMAP):
+            return False
+    # mesh-area emitters only (sphere-area → XLA path)
+    for e in range(len(et)):
+        if et[e] == EM_AREA and int(_np.asarray(scene.emitters.geom_kind)[e]) != 1:
+            return False
+    # image-based envmap → XLA path (importance CDF not in-kernel yet);
+    # constant envmaps are a 1×1 radiance grid (ops/envmap.py)
+    img = scene.envmap.img
+    if int(scene.envmap_emitter) >= 0 and img.shape[0] * img.shape[1] != 1:
+        return False
+    return True
+
+
+def build_mega_tables(scene):
+    """Host packing → dict of device arrays for the kernel."""
+    g = scene.geometry
+    v0 = np.asarray(g.tri_v0, np.float32)
+    e1 = np.asarray(g.tri_e1, np.float32)
+    e2 = np.asarray(g.tri_e2, np.float32)
+    t_cnt = v0.shape[0]
+    coeffs = np.asarray(jax.device_get(g.tri_mxu)) if isinstance(
+        g.tri_mxu, jnp.ndarray
+    ) else np.asarray(g.tri_mxu)
+    t_pad = coeffs.shape[0] // 4
+    # chunk-major reorder: rows of chunk c = [c*4tc, (c+1)*4tc) hold that
+    # chunk's [det|t|u|v] groups contiguously → ONE matmul per chunk in the
+    # kernel instead of four (4× fewer MXU ops, 4× faster Mosaic compile)
+    tc0 = min(256, t_pad)
+    cm = coeffs.reshape(4, t_pad, 16)
+    cm = np.concatenate(
+        [
+            cm[:, c0 : c0 + tc0].reshape(4 * tc0, 16)
+            for c0 in range(0, t_pad, tc0)
+        ],
+        axis=0,
+    )
+    coeffs = cm
+
+    # ---- per-triangle attribute table [A_COLS, Tpad]
+    attr = np.zeros((t_pad, A_COLS), np.float32)
+    n_g = np.cross(e1, e2)
+    n_g /= np.maximum(np.linalg.norm(n_g, axis=-1, keepdims=True), 1e-20)
+    attr[:t_cnt, 0:3] = n_g
+    n0 = np.asarray(g.tri_n0, np.float32)
+    attr[:t_cnt, 3:6] = n0
+    attr[:t_cnt, 6:9] = np.asarray(g.tri_n1, np.float32) - n0
+    attr[:t_cnt, 9:12] = np.asarray(g.tri_n2, np.float32) - n0
+    uv0 = np.asarray(g.tri_uv0, np.float32)
+    attr[:t_cnt, 12:14] = uv0
+    attr[:t_cnt, 14:16] = np.asarray(g.tri_uv1, np.float32) - uv0
+    attr[:t_cnt, 16:18] = np.asarray(g.tri_uv2, np.float32) - uv0
+
+    shape_id = np.asarray(g.tri_shape)
+    bsdf_id = np.asarray(scene.shapes.bsdf)[shape_id]
+    em_id = np.asarray(scene.shapes.emitter)[shape_id]
+    btype = np.asarray(scene.bsdfs.type)
+    attr[:t_cnt, 18] = btype[bsdf_id]
+    attr[:t_cnt, 19] = np.asarray(scene.bsdfs.alpha)[bsdf_id]
+    attr[:t_cnt, 20] = np.asarray(scene.bsdfs.int_ior)[bsdf_id]
+    attr[:t_cnt, 21] = np.asarray(scene.bsdfs.ext_ior)[bsdf_id]
+    attr[:t_cnt, 22] = np.asarray(scene.bsdfs.ks)[bsdf_id]
+    attr[:t_cnt, 23:26] = np.asarray(scene.bsdfs.kd)[bsdf_id]
+    tex_val = np.asarray(scene.textures.value)
+    alb_tex = np.asarray(scene.bsdfs.albedo_tex)[bsdf_id]
+    attr[:t_cnt, 26:29] = np.where(
+        (alb_tex >= 0)[:, None], tex_val[np.maximum(alb_tex, 0)], 1.0
+    )
+    attr[:t_cnt, 29] = em_id.astype(np.float32)
+    attr[:t_cnt, 30:33] = v0
+    attr[:t_cnt, 33:36] = e1
+    attr[:t_cnt, 36:39] = e2
+    attr_t = attr.T.copy()  # [A_COLS, Tpad]
+
+    # ---- emitter rows [E, ER_COLS]
+    em = scene.emitters
+    E = int(np.asarray(em.type).shape[0])
+    rows = np.zeros((max(E, 1), ER_COLS), np.float32)
+    pick_pdf = np.asarray(scene.emitter_pick.pmf, np.float32)
+    pick_cdf = np.asarray(scene.emitter_pick.cdf, np.float32)
+    for e in range(E):
+        rows[e, 0] = float(np.asarray(em.type)[e])
+        rows[e, 1:4] = np.asarray(em.radiance)[e]
+        rows[e, 4:7] = np.asarray(em.position)[e]
+        rows[e, 7:10] = np.asarray(em.power)[e]
+        rows[e, 10] = float(np.asarray(em.area)[e])
+        rows[e, 11] = pick_pdf[e] if e < len(pick_pdf) else 0.0
+        rows[e, 12] = pick_cdf[e] if e < len(pick_cdf) else 1.0
+
+    # ---- emissive-triangle table [ET_COLS, TEpad]
+    et_rows = []
+    gn0 = np.asarray(g.tri_n0, np.float32)
+    gn1 = np.asarray(g.tri_n1, np.float32)
+    gn2 = np.asarray(g.tri_n2, np.float32)
+    for e in range(E):
+        if int(np.asarray(em.type)[e]) != EM_AREA:
+            continue
+        if int(np.asarray(em.geom_kind)[e]) != 1:  # mesh-area only (MESH=1)
+            continue
+        off = int(np.asarray(em.tri_offset)[e])
+        cnt = int(np.asarray(em.tri_count)[e])
+        cdf = np.asarray(em.tri_cdf)[e]
+        for k in range(cnt):
+            t = off + k
+            row = np.zeros(ET_COLS, np.float32)
+            row[0:3] = v0[t]
+            row[3:6] = e1[t]
+            row[6:9] = e2[t]
+            row[9:12] = gn0[t]
+            row[12:15] = gn1[t] - gn0[t]
+            row[15:18] = gn2[t] - gn0[t]
+            row[18] = cdf[k]
+            row[19] = float(e)
+            row[20] = cdf[k - 1] if k > 0 else 0.0
+            et_rows.append(row)
+    te = len(et_rows)
+    te_pad = max(8, int(np.ceil(max(te, 1) / 8) * 8))
+    et_tab = np.zeros((te_pad, ET_COLS), np.float32)
+    et_tab[:, 19] = -1.0  # pad rows match no emitter
+    et_tab[:, 18] = 2.0  # pad cdf beyond any u
+    if te:
+        et_tab[:te] = np.stack(et_rows)
+    et_t = et_tab.T.copy()  # [ET_COLS, TEpad]
+
+    # ---- sphere rows [Ns, 16] (SMEM select-loop; non-emissive by eligibility)
+    ns_ = int(np.asarray(g.sph_center).shape[0])
+    sph = np.zeros((max(ns_, 1), 16), np.float32)
+    if ns_:
+        sc = np.asarray(g.sph_center, np.float32)
+        sr = np.asarray(g.sph_radius, np.float32)
+        s_shape = np.asarray(g.sph_shape)
+        s_bsdf = np.asarray(scene.shapes.bsdf)[s_shape]
+        sph[:ns_, 0:3] = sc
+        sph[:ns_, 3] = sr
+        sph[:ns_, 4] = btype[s_bsdf]
+        sph[:ns_, 5] = np.asarray(scene.bsdfs.alpha)[s_bsdf]
+        sph[:ns_, 6] = np.asarray(scene.bsdfs.int_ior)[s_bsdf]
+        sph[:ns_, 7] = np.asarray(scene.bsdfs.ext_ior)[s_bsdf]
+        sph[:ns_, 8] = np.asarray(scene.bsdfs.ks)[s_bsdf]
+        sph[:ns_, 9:12] = np.asarray(scene.bsdfs.kd)[s_bsdf]
+        s_alb = np.asarray(scene.bsdfs.albedo_tex)[s_bsdf]
+        sph[:ns_, 12:15] = np.where(
+            (s_alb >= 0)[:, None], tex_val[np.maximum(s_alb, 0)], 1.0
+        )
+    # constant-envmap radiance (0 if none): 1×1 grids hold the radiance
+    # directly (ops/envmap.py build path)
+    env_rad = np.zeros(4, np.float32)
+    if int(scene.envmap_emitter) >= 0:
+        env_rad[:3] = np.asarray(scene.envmap.img).reshape(-1, 3)[0]
+        env_rad[3] = 1.0
+
+    return {
+        "coeffs": jnp.asarray(coeffs),
+        "attr": jnp.asarray(attr_t),
+        "em_rows": jnp.asarray(rows),
+        "et": jnp.asarray(et_t),
+        "etc": jnp.asarray(et_tab),
+        "env": jnp.asarray(env_rad),
+        "sph": jnp.asarray(sph),
+    }
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks
+# ---------------------------------------------------------------------------
+
+
+def _features_row(o, d, s):
+    """[16, L] MT features of sublane strip s from (x,y,z) [S,L] comps."""
+    ox, oy, oz = o[0][s : s + 1], o[1][s : s + 1], o[2][s : s + 1]
+    dx, dy, dz = d[0][s : s + 1], d[1][s : s + 1], d[2][s : s + 1]
+    one = jnp.ones_like(ox)
+    return jnp.concatenate(
+        [
+            ox * dx, ox * dy, ox * dz,
+            oy * dx, oy * dy, oy * dz,
+            oz * dx, oz * dy, oz * dz,
+            dx, dy, dz,
+            ox, oy, oz,
+            one,
+        ],
+        axis=0,
+    )
+
+
+def closest_hit(coeff_ref, o, d, mint, cutoff, t_pad, tc, want_attrs=True,
+                attr_ref=None):
+    """MXU closest-hit for all S strips. Returns dict of [S,L] arrays:
+    t, u, v, idf (−1 miss) and (optionally) the A_COLS attribute rows."""
+    t_rows, u_rows, v_rows, id_rows = [], [], [], []
+    for s in range(S):
+        F = _features_row(o, d, s)  # [16, L]
+        mint_r = mint[s : s + 1]
+        cut_r = cutoff[s : s + 1]
+        best_t, best_u, best_v, best_id = cut_r, jnp.zeros_like(cut_r), \
+            jnp.zeros_like(cut_r), jnp.full_like(cut_r, -1.0)
+        for ci, c0 in enumerate(range(0, t_pad, tc)):
+            # chunk-major coeff rows: [det|t|u|v] of this chunk contiguous
+            g4 = jnp.dot(coeff_ref[ci * 4 * tc : (ci + 1) * 4 * tc, :], F,
+                         preferred_element_type=jnp.float32, precision=SP)
+            det = g4[0 * tc : 1 * tc]
+            tn = g4[1 * tc : 2 * tc]
+            un = g4[2 * tc : 3 * tc]
+            vn = g4[3 * tc : 4 * tc]
+            inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+            uu = un * inv_det
+            vv = vn * inv_det
+            tt = tn * inv_det
+            hit = (
+                (jnp.abs(det) > 1e-12)
+                & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt >= mint_r) & (tt < best_t)
+            )
+            tm = jnp.where(hit, tt, BIG)
+            tmin = jnp.min(tm, axis=0, keepdims=True)
+            better = tmin < best_t
+            jloc = jnp.argmin(tm, axis=0).reshape(1, -1)
+            oh = jax.lax.broadcasted_iota(jnp.int32, (tc, L), 0) == jloc
+            ub = jnp.sum(jnp.where(oh, uu, 0.0), axis=0, keepdims=True)
+            vb = jnp.sum(jnp.where(oh, vv, 0.0), axis=0, keepdims=True)
+            best_u = jnp.where(better, ub, best_u)
+            best_v = jnp.where(better, vb, best_v)
+            best_id = jnp.where(better, (jloc + c0).astype(jnp.float32), best_id)
+            best_t = jnp.where(better, tmin, best_t)
+        t_rows.append(best_t)
+        u_rows.append(best_u)
+        v_rows.append(best_v)
+        id_rows.append(best_id)
+    out = {
+        "t": jnp.concatenate(t_rows, axis=0),
+        "u": jnp.concatenate(u_rows, axis=0),
+        "v": jnp.concatenate(v_rows, axis=0),
+        "idf": jnp.concatenate(id_rows, axis=0),
+    }
+    if want_attrs:
+        arows = []
+        for s in range(S):
+            idr = out["idf"][s : s + 1].astype(jnp.int32)  # [1,L]
+            acc = jnp.zeros((A_COLS, L), jnp.float32)
+            for c0 in range(0, t_pad, tc):
+                oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (tc, L), 0)
+                    == (idr - c0)
+                ).astype(jnp.float32)
+                acc = acc + jnp.dot(
+                    attr_ref[:, c0 : c0 + tc], oh,
+                    preferred_element_type=jnp.float32, precision=SP,
+                )
+            arows.append(acc[:, None, :])  # [A,1,L]
+        out["attr"] = jnp.concatenate(arows, axis=1)  # [A, S, L]
+    return out
+
+
+def sphere_hit(sph_ref, o, d, mint, cutoff):
+    """Stable-quadratic sphere test against the (tiny) SMEM sphere table
+    (sphere.cpp:67-124 contract). Returns (t [S,L], sid float [S,L] −1 miss).
+
+    Rows with radius ≤ 0 are padding and never hit.
+    """
+    n_rows = sph_ref.shape[0]
+    best_t = cutoff
+    best_id = jnp.full_like(cutoff, -1.0)
+    a = vdot(d, d)
+    for j in range(n_rows):
+        cx, cy, cz = sph_ref[j, 0], sph_ref[j, 1], sph_ref[j, 2]
+        r = sph_ref[j, 3]
+        oc = (o[0] - cx, o[1] - cy, o[2] - cz)
+        b = 2.0 * vdot(oc, d)
+        c = vdot(oc, oc) - r * r
+        disc = b * b - 4.0 * a * c
+        ok = (disc >= 0.0) & (r > 0.0)
+        sq = safe_sqrt(disc)
+        q = -0.5 * (b + jnp.sign(b) * sq)
+        t0 = q / a
+        t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, 1e-20)
+        tn = jnp.minimum(t0, t1)
+        tf_ = jnp.maximum(t0, t1)
+        in_n = ok & (tn >= mint) & (tn < best_t)
+        in_f = ok & (tf_ >= mint) & (tf_ < best_t)
+        t_c = jnp.where(in_n, tn, jnp.where(in_f, tf_, BIG))
+        better = t_c < best_t
+        best_t = jnp.where(better, t_c, best_t)
+        best_id = jnp.where(better, float(j), best_id)
+    return best_t, best_id
+
+
+def sphere_params(sph_ref, sid, P, ns_tri, p_hit):
+    """Override per-lane BSDF params + shading normal where a sphere won."""
+    is_s = sid >= 0.0
+    n_rows = sph_ref.shape[0]
+    fields = {"btype": 4, "alpha": 5, "int_ior": 6, "ext_ior": 7, "ks": 8}
+    out = dict(P)
+    for k, col in fields.items():
+        v = P[k]
+        for j in range(n_rows):
+            v = jnp.where(sid == float(j), sph_ref[j, col], v)
+        out[k] = v
+    for base, k in ((9, "kd"), (12, "albedo")):
+        comps = list(P[k])
+        for c in range(3):
+            v = comps[c]
+            for j in range(n_rows):
+                v = jnp.where(sid == float(j), sph_ref[j, base + c], v)
+            comps[c] = v
+        out[k] = tuple(comps)
+    # outward normal (p-c)/r (sphere.cpp:87-124)
+    nx, ny, nz = ns_tri
+    for j in range(n_rows):
+        m = sid == float(j)
+        inv_r = 1.0 / jnp.maximum(sph_ref[j, 3], 1e-12)
+        nx = jnp.where(m, (p_hit[0] - sph_ref[j, 0]) * inv_r, nx)
+        ny = jnp.where(m, (p_hit[1] - sph_ref[j, 1]) * inv_r, ny)
+        nz = jnp.where(m, (p_hit[2] - sph_ref[j, 2]) * inv_r, nz)
+    return out, (nx, ny, nz), is_s
+
+
+def occluded_mxu(coeff_ref, sph_ref, o, d, mint, maxt, t_pad, tc):
+    """Any-hit: is something in [mint, maxt)? Returns bool [S,L]."""
+    h = closest_hit(coeff_ref, o, d, mint, maxt, t_pad, tc, want_attrs=False)
+    _, sid = sphere_hit(sph_ref, o, d, mint, maxt)
+    return (h["idf"] >= 0.0) | (sid >= 0.0)
+
+
+# -- pcg32 helpers on [S,L] uint32 state tuples ------------------------------
+
+
+def draw1(st):
+    st2, u = rng.pcg32_next_float(rng.Pcg32State(*st))
+    return (st2.state_hi, st2.state_lo, st2.inc_hi, st2.inc_lo), u
+
+
+def draw2(st):
+    st, u1 = draw1(st)
+    st, u2 = draw1(st)
+    return st, (u1, u2)
+
+
+def draw3(st):
+    st, u1 = draw1(st)
+    st, u2 = draw1(st)
+    st, u3 = draw1(st)
+    return st, (u1, u2, u3)
+
+
+# ---------------------------------------------------------------------------
+# BSDF sample / eval / pdf — component-wise port of ops/bsdf.py (same
+# reference semantics: diffuse.cpp, mirror.cpp, dielectric.cpp:52-102,
+# microfacet.cpp:20-160)
+# ---------------------------------------------------------------------------
+
+
+def _cosine_hemisphere(u1, u2):
+    rho = jnp.sqrt(jnp.maximum(u1, 0.0))
+    th = u2 * (2.0 * PI)
+    x = rho * jnp.cos(th)
+    y = rho * jnp.sin(th)
+    z = safe_sqrt(1.0 - (x * x + y * y))
+    return (x, y, z)
+
+
+def _beckmann_sample(u1, u2, alpha):
+    log_s = jnp.log(jnp.maximum(1.0 - u1, 1e-38))
+    tan2 = -alpha * alpha * log_s
+    phi = u2 * (2.0 * PI)
+    ct = 1.0 / jnp.sqrt(1.0 + tan2)
+    st_ = safe_sqrt(1.0 - ct * ct)
+    return (st_ * jnp.cos(phi), st_ * jnp.sin(phi), ct)
+
+
+def _beckmann_d(m, alpha):
+    ct = jnp.maximum(m[2], 1e-4)
+    inv_ct2 = 1.0 / (ct * ct)
+    tan2 = jnp.maximum(0.0, 1.0 - ct * ct) * inv_ct2
+    return jnp.exp(-tan2 / (alpha * alpha)) * inv_ct2 * inv_ct2 / (PI * alpha * alpha)
+
+
+def _smith_g1(v, m, alpha):
+    ct = v[2]
+    tan_t = safe_sqrt(1.0 - ct * ct) / jnp.where(jnp.abs(ct) > 1e-8, ct, 1e-8)
+    a = 1.0 / jnp.maximum(alpha * jnp.abs(tan_t), 1e-8)
+    a2 = a * a
+    approx = (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2)
+    g = jnp.where(a >= 1.6, 1.0, approx)
+    g = jnp.where(jnp.abs(tan_t) < 1e-8, 1.0, g)
+    back = vdot(m, v) * ct <= 0.0
+    return jnp.where(back, 0.0, g)
+
+
+def _microfacet_eval_c(kd, ks, alpha, ext_ior, int_ior, wi, wo):
+    """Returns rgb triple of [S,L]."""
+    wh = vnormalize(vadd(wi, wo))
+    d = _beckmann_d(wh, alpha)
+    f = fresnel_dielectric(vdot(wh, wi), ext_ior, int_ior)
+    g = _smith_g1(wi, wh, alpha) * _smith_g1(wo, wh, alpha)
+    denom = 4.0 * wi[2] * wo[2]
+    spec = ks * d * f * g / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    ok = wo[2] > 0.0
+    return tuple(jnp.where(ok, kd[c] * INV_PI + spec, 0.0) for c in range(3))
+
+
+def _microfacet_pdf_c(ks, alpha, wi, wo):
+    wh = vnormalize(vadd(wi, wo))
+    d = _beckmann_d(wh, alpha)
+    dwh = vdot(wo, wh)
+    part1 = ks * d * wh[2] / jnp.where(jnp.abs(4.0 * dwh) > 1e-12, 4.0 * dwh, 1e-12)
+    part2 = (1.0 - ks) * wo[2] * INV_PI
+    return jnp.where(wo[2] > 0.0, part1 + part2, 0.0)
+
+
+def bsdf_eval_c(P, wi, wo):
+    """f(wi,wo) rgb under solid angle; P = per-lane param dict."""
+    diff_ok = (wi[2] > 0.0) & (wo[2] > 0.0)
+    f_diff = tuple(
+        jnp.where(diff_ok, P["albedo"][c] * INV_PI, 0.0) for c in range(3)
+    )
+    f_mf = _microfacet_eval_c(
+        P["kd"], P["ks"], P["alpha"], P["ext_ior"], P["int_ior"], wi, wo
+    )
+    is_diff = P["btype"] == BSDF_DIFFUSE
+    is_mf = P["btype"] == BSDF_MICROFACET
+    return tuple(
+        jnp.where(is_diff, f_diff[c], jnp.where(is_mf, f_mf[c], 0.0))
+        for c in range(3)
+    )
+
+
+def bsdf_pdf_c(P, wi, wo):
+    diff_ok = (wi[2] > 0.0) & (wo[2] > 0.0)
+    p_diff = jnp.where(diff_ok, INV_PI * wo[2], 0.0)
+    p_mf = _microfacet_pdf_c(P["ks"], P["alpha"], wi, wo)
+    return jnp.where(
+        P["btype"] == BSDF_DIFFUSE,
+        p_diff,
+        jnp.where(P["btype"] == BSDF_MICROFACET, p_mf, 0.0),
+    )
+
+
+def bsdf_sample_c(P, wi, u1, u2):
+    """Sample wo; returns (wo triple, weight rgb triple, pdf, is_discrete)."""
+    cos_i = wi[2]
+
+    # diffuse
+    wo_diff = _cosine_hemisphere(u1, u2)
+    w_diff = tuple(jnp.where(cos_i > 0.0, P["albedo"][c], 0.0) for c in range(3))
+
+    # mirror
+    wo_mirror = (-wi[0], -wi[1], wi[2])
+    w_mirror = tuple(jnp.where(cos_i > 0.0, 1.0, 0.0) for _ in range(3))
+
+    # dielectric (dielectric.cpp:52-102)
+    fr = fresnel_dielectric(cos_i, P["ext_ior"], P["int_ior"])
+    reflect_event = u1 < fr
+    entering = cos_i >= 0.0
+    eta_ratio = jnp.where(
+        entering, P["ext_ior"] / P["int_ior"], P["int_ior"] / P["ext_ior"]
+    )
+    nz = jnp.where(entering, 1.0, -1.0)
+    wi_dot_n = wi[2] * nz
+    sq = safe_sqrt(1.0 - eta_ratio * eta_ratio * (1.0 - wi_dot_n * wi_dot_n))
+    # tangential part of wi: (wi_x, wi_y, wi_z - wi_dot_n*nz)
+    wo_refr = (
+        -eta_ratio * wi[0],
+        -eta_ratio * wi[1],
+        -eta_ratio * (wi[2] - wi_dot_n * nz) - sq * nz,
+    )
+    wo_diel = vwhere(reflect_event, wo_mirror, wo_refr)
+    w_refr = 1.0 / (eta_ratio * eta_ratio)
+    w_diel_s = jnp.where(reflect_event, 1.0, w_refr)
+    w_diel = (w_diel_s, w_diel_s, w_diel_s)
+
+    # microfacet (microfacet.cpp:123-160)
+    ks = P["ks"]
+    alpha = P["alpha"]
+    spec_event = u2 < ks
+    u2_spec = u2 / jnp.maximum(ks, 1e-8)
+    u2_diff = (u2 - ks) / jnp.maximum(1.0 - ks, 1e-8)
+    wh = _beckmann_sample(u1, u2_spec, alpha)
+    dw = 2.0 * vdot(wi, wh)
+    wo_spec = (dw * wh[0] - wi[0], dw * wh[1] - wi[1], dw * wh[2] - wi[2])
+    wo_cos = _cosine_hemisphere(u1, u2_diff)
+    wo_mf = vwhere(spec_event, wo_spec, wo_cos)
+    f_mf = _microfacet_eval_c(
+        P["kd"], ks, alpha, P["ext_ior"], P["int_ior"], wi, wo_mf
+    )
+    p_mf = _microfacet_pdf_c(ks, alpha, wi, wo_mf)
+    mf_ok = (wo_mf[2] > 0.0) & (cos_i >= 0.0) & (p_mf > 1e-12)
+    scale = jnp.where(mf_ok, wo_mf[2] / jnp.maximum(p_mf, 1e-12), 0.0)
+    w_mf = tuple(f_mf[c] * scale for c in range(3))
+
+    is_mirror = P["btype"] == BSDF_MIRROR
+    is_diel = P["btype"] == BSDF_DIELECTRIC
+    is_mf = P["btype"] == BSDF_MICROFACET
+
+    wo = vwhere(is_mirror, wo_mirror, vwhere(is_diel, wo_diel,
+                vwhere(is_mf, wo_mf, wo_diff)))
+    weight = tuple(
+        jnp.where(is_mirror, w_mirror[c], jnp.where(is_diel, w_diel[c],
+                  jnp.where(is_mf, w_mf[c], w_diff[c])))
+        for c in range(3)
+    )
+    is_discrete = is_mirror | is_diel
+    pdf_cont = jnp.where(
+        is_mf,
+        p_mf,
+        jnp.where(
+            (P["btype"] == BSDF_DIFFUSE) & (cos_i > 0.0),
+            INV_PI * jnp.maximum(wo[2], 0.0),
+            0.0,
+        ),
+    )
+    pdf = jnp.where(is_discrete, 0.0, pdf_cont)
+    return wo, weight, pdf, is_discrete
+
+
+# ---------------------------------------------------------------------------
+# emitters in-kernel
+# ---------------------------------------------------------------------------
+
+
+def em_scalar(em_ref, e, j):
+    return em_ref[e, j]
+
+
+def emitter_lookup(em_ref, n_emitters, eid, cols):
+    """Per-lane emitter row fields via a select-loop over the (tiny) table.
+
+    eid: [S,L] float ids; cols: list of column indices. Returns list of [S,L].
+    """
+    outs = [jnp.zeros_like(eid) for _ in cols]
+    for e in range(n_emitters):
+        m = eid == float(e)
+        for k, j in enumerate(cols):
+            outs[k] = jnp.where(m, em_ref[e, j], outs[k])
+    return outs
+
+
+def nee_sample(em_ref, et_ref, env_ref, n_emitters, te_pad, p_hit, st,
+               etc_ref=None):
+    """Next-event estimation sample (path_mis.cpp:74-106 EMS side).
+
+    Draws u_pick (1D) + u_ems (3D) from `st` in the scan-integrator order.
+    Returns (st, dict): wi world triple, pdf_sa (already /n_lights applied by
+    caller), radiance rgb, shadow dist, valid mask. `etc_ref` is the
+    [TEpad, ET_COLS] column layout used for broadcast compares (Mosaic-side
+    transposes of skinny rows are avoided).
+    """
+    st, u_pick = draw1(st)
+    st, (ua, ub, _uc) = draw3(st)
+
+    # emitter pick: idx = #\{cdf <= u\} (dpdf.h:140-152)
+    eid = jnp.zeros_like(u_pick)
+    for e in range(n_emitters - 1):
+        eid = eid + (em_ref[e, 12] <= u_pick).astype(jnp.float32)
+
+    etype, = emitter_lookup(em_ref, n_emitters, eid, [0])
+
+    # ---- area: pick tri in the emissive-tri table (first row of this
+    # emitter with cdf > ua), sampleReuse-rescale ua, uniform barycentric
+    et_eid_col = etc_ref[:, 19:20]  # [TE, 1]
+    et_cdf_col = etc_ref[:, 18:19]
+    # broadcast per-lane: for each lane, score rows
+    # NOTE: per-sublane loop keeps everything 2D [TE, L]
+    v0s, e1s, e2s, n0s, dn1s, dn2s = [], [], [], [], [], []
+    cdf_lo_s, cdf_hi_s = [], []
+    for s in range(S):
+        ua_r = ua[s : s + 1, :]  # [1,L]
+        eid_r = eid[s : s + 1, :]
+        elig = (et_eid_col == eid_r) & (et_cdf_col > ua_r)
+        # int iota only — Mosaic rejects tpu.iota on float vectors
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (te_pad, L), 0)
+        sel = jnp.min(jnp.where(elig, iota_i, te_pad), axis=0,
+                      keepdims=True)  # [1,L] int32
+        sel = jnp.minimum(sel, te_pad - 1)
+        oh = (iota_i == sel).astype(jnp.float32)
+        rows = jnp.dot(et_ref[:, :], oh, preferred_element_type=jnp.float32,
+                       precision=HP)  # [24, L]
+        v0s.append(rows[0:3])
+        e1s.append(rows[3:6])
+        e2s.append(rows[6:9])
+        n0s.append(rows[9:12])
+        dn1s.append(rows[12:15])
+        dn2s.append(rows[15:18])
+        cdf_hi_s.append(rows[18:19])
+        cdf_lo_s.append(rows[20:21])
+
+    def cat(rowlist, c):
+        return jnp.concatenate([r[c : c + 1] for r in rowlist], axis=0)
+
+    tv0 = (cat(v0s, 0), cat(v0s, 1), cat(v0s, 2))
+    te1 = (cat(e1s, 0), cat(e1s, 1), cat(e1s, 2))
+    te2 = (cat(e2s, 0), cat(e2s, 1), cat(e2s, 2))
+    tn0 = (cat(n0s, 0), cat(n0s, 1), cat(n0s, 2))
+    td1 = (cat(dn1s, 0), cat(dn1s, 1), cat(dn1s, 2))
+    td2 = (cat(dn2s, 0), cat(dn2s, 1), cat(dn2s, 2))
+    cdf_hi = jnp.concatenate(cdf_hi_s, axis=0)
+    cdf_lo = jnp.concatenate(cdf_lo_s, axis=0)
+
+    ua_re = jnp.clip(
+        (ua - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-12), 0.0, 1.0 - 1e-7
+    )
+    # squareToUniformTriangle (warp.cpp:162-166): bc = (1-√u, v√u, ...)
+    su = jnp.sqrt(jnp.maximum(ua_re, 0.0))
+    b0 = 1.0 - su
+    b1 = ub * su
+    b2 = 1.0 - b0 - b1
+    p_surf = vadd(tv0, vadd(vscale(te1, b1), vscale(te2, b2)))
+    n_surf = vnormalize(
+        vadd(vscale(tn0, 1.0), vadd(vscale(td1, b1), vscale(td2, b2)))
+    )
+    to_p = vsub(p_surf, p_hit)
+    dist2 = jnp.maximum(vdot(to_p, to_p), 1e-20)
+    dist = jnp.sqrt(dist2)
+    wi_area = vscale(to_p, 1.0 / dist)
+    cos_em = vdot(n_surf, vneg(wi_area))
+    front = cos_em > 0.0
+    area_tot, rad_r, rad_g, rad_b = emitter_lookup(
+        em_ref, n_emitters, eid, [10, 1, 2, 3]
+    )
+    inv_area = 1.0 / jnp.maximum(area_tot, 1e-20)
+    pdf_area = inv_area * dist2 / jnp.maximum(jnp.abs(cos_em), 1e-12)
+    ok_area = front & (pdf_area > EPS)
+    inv_pdf = jnp.where(ok_area, 1.0 / jnp.maximum(pdf_area, 1e-12), 0.0)
+    val_area = (rad_r * inv_pdf, rad_g * inv_pdf, rad_b * inv_pdf)
+
+    # ---- point (pointlight.cpp): radiance = power/4π stored in rows 1:4
+    px_, py_, pz_ = emitter_lookup(em_ref, n_emitters, eid, [4, 5, 6])
+    to_l = (px_ - p_hit[0], py_ - p_hit[1], pz_ - p_hit[2])
+    d2pt = jnp.maximum(vdot(to_l, to_l), 1e-20)
+    dpt = jnp.sqrt(d2pt)
+    wi_pt = vscale(to_l, 1.0 / dpt)
+    val_pt = (rad_r / d2pt, rad_g / d2pt, rad_b / d2pt)
+
+    # ---- constant envmap: uniform sphere, pdf = 1/4π
+    z = 2.0 * ua - 1.0
+    r_ = safe_sqrt(1.0 - z * z)
+    sig = 2.0 * PI * ub
+    wi_env = (r_ * jnp.cos(sig), r_ * jnp.sin(sig), z)
+    env_r, env_g, env_b = env_ref[0, 0], env_ref[0, 1], env_ref[0, 2]
+    fourpi = 4.0 * PI
+    val_env = (env_r * fourpi + 0.0 * ua, env_g * fourpi + 0.0 * ua,
+               env_b * fourpi + 0.0 * ua)
+
+    is_area = etype == float(EM_AREA)
+    is_pt = etype == float(EM_POINT)
+    is_env = etype == float(EM_ENVMAP)
+
+    wi = vwhere(is_area, wi_area, vwhere(is_pt, wi_pt, wi_env))
+    value = tuple(
+        jnp.where(is_area, val_area[c],
+                  jnp.where(is_pt, val_pt[c], val_env[c]))
+        for c in range(3)
+    )
+    pdf_sa = jnp.where(is_area, jnp.where(ok_area, pdf_area, 0.0),
+                       jnp.where(is_pt, 1.0, 1.0 / fourpi))
+    shadow_dist = jnp.where(is_area | is_pt,
+                            jnp.where(is_area, dist, dpt) - EPS,
+                            jnp.float32(BIG))
+    return st, {
+        "wi": wi, "value": value, "pdf_sa": pdf_sa,
+        "shadow_dist": shadow_dist, "is_delta": is_pt, "is_env": is_env,
+    }
+
+
+# ---------------------------------------------------------------------------
+# the megakernel: full bounce loop per ray block
+# ---------------------------------------------------------------------------
+
+
+def _mega_kernel(
+    ray_ref,  # [1, 8, S, L]: ox oy oz dx dy dz mint maxt
+    rng_ref,  # [1, 4, S, L] uint32: state_hi state_lo inc_hi inc_lo
+    coeff_ref,  # [4*Tpad, 16]
+    attr_ref,  # [A_COLS, Tpad]
+    et_ref,  # [ET_COLS, TEpad] (one-hot fetch layout)
+    etc_ref,  # [TEpad, ET_COLS] (column-compare layout)
+    em_ref,  # [E, ER_COLS] SMEM
+    env_ref,  # [1, 4] SMEM
+    sph_ref,  # [Ns, 16] SMEM sphere rows
+    out_ref,  # [12, 1, S, L]
+    *,
+    mis: bool,
+    max_depth: int,
+    t_pad: int,
+    tc: int,
+    te_pad: int,
+    n_emitters: int,
+    n_lights: int,
+):
+    o0 = (ray_ref[0, 0], ray_ref[0, 1], ray_ref[0, 2])
+    d0 = (ray_ref[0, 3], ray_ref[0, 4], ray_ref[0, 5])
+    mint0 = ray_ref[0, 6]
+    maxt0 = ray_ref[0, 7]
+    st0 = (rng_ref[0, 0], rng_ref[0, 1], rng_ref[0, 2], rng_ref[0, 3])
+
+    zero = jnp.zeros_like(mint0)
+    one = jnp.ones_like(mint0)
+
+    def nee_closure(p_hit, st):
+        return nee_sample(em_ref, et_ref, env_ref, n_emitters, te_pad, p_hit, st,
+                          etc_ref=etc_ref)
+
+    def body(b, carry):
+        (o, d, tr, tg, tb_, Lr, Lg, Lb, active_f, pdf_prev, prev_disc_f,
+         w_mats_prev, Ar, Ag, Ab, Nx, Ny, Nz, st) = carry
+        # bool state rides the loop carry as f32 (Mosaic cannot legalize
+        # scf.for with vector<i1> carries)
+        active = active_f > 0.5
+        prev_disc = prev_disc_f > 0.5
+        first = b == 0
+        mint = jnp.where(first, mint0, jnp.full_like(mint0, EPS))
+        maxt = jnp.where(first, maxt0, jnp.full_like(maxt0, BIG))
+
+        hit = closest_hit(coeff_ref, o, d, mint, maxt, t_pad, tc,
+                          want_attrs=True, attr_ref=attr_ref)
+        tri_valid = hit["idf"] >= 0.0
+        at = hit["attr"]  # [A_COLS, S, L]
+        # exact per-winner Möller–Trumbore refine (selection ran at bf16x3;
+        # values must be f32-exact for shading and MIS)
+        w_v0 = (at[30], at[31], at[32])
+        w_e1 = (at[33], at[34], at[35])
+        w_e2 = (at[36], at[37], at[38])
+        pvec = vcross(d, w_e2)
+        r_det = vdot(w_e1, pvec)
+        r_inv = 1.0 / jnp.where(jnp.abs(r_det) > 1e-12, r_det, 1e-12)
+        tvec = vsub(o, w_v0)
+        u_r = vdot(tvec, pvec) * r_inv
+        qvec = vcross(tvec, w_e1)
+        v_r = vdot(d, qvec) * r_inv
+        t_r = vdot(w_e2, qvec) * r_inv
+        t_tri = jnp.where(tri_valid, t_r, hit["t"])
+        # analytic spheres must beat the best triangle (sphere.cpp contract)
+        t_sph, sid = sphere_hit(sph_ref, o, d, mint, t_tri)
+        sphere_wins = sid >= 0.0
+        t_best = jnp.where(sphere_wins, t_sph, t_tri)
+        valid = tri_valid | sphere_wins
+
+        # shading frame (make_interaction + make_frame contract)
+        u = jnp.where(tri_valid, u_r, hit["u"])
+        v = jnp.where(tri_valid, v_r, hit["v"])
+        ns = vnormalize((
+            at[3] + u * at[6] + v * at[9],
+            at[4] + u * at[7] + v * at[10],
+            at[5] + u * at[8] + v * at[11],
+        ))
+        p_hit = vadd(o, vscale(d, jnp.where(valid, t_best, 1.0)))
+
+        P = {
+            "btype": at[18],
+            "alpha": at[19],
+            "int_ior": at[20],
+            "ext_ior": at[21],
+            "ks": at[22],
+            "kd": (at[23], at[24], at[25]),
+            "albedo": (at[26], at[27], at[28]),
+        }
+        P, ns, _ = sphere_params(sph_ref, sid, P, ns, p_hit)
+        sf, tf = onb(ns)
+        em_id = jnp.where(tri_valid & (~sphere_wins), at[29], -1.0)
+
+        # ---- miss → constant envmap (MIS-weighted as li_path_mis)
+        has_env = env_ref[0, 3] > 0.0
+        env_r, env_g, env_b = env_ref[0, 0], env_ref[0, 1], env_ref[0, 2]
+        miss = active & (~valid)
+        if mis:
+            pdf_env_dir = jnp.where(has_env, 1.0 / (4.0 * PI) / n_lights, 0.0)
+            denom_env = pdf_prev + pdf_env_dir
+            w_env = jnp.where(
+                first | prev_disc,
+                1.0,
+                jnp.where(denom_env > EPS,
+                          pdf_prev / jnp.maximum(denom_env, 1e-20), 1.0),
+            )
+        else:
+            w_env = one
+        me = jnp.where(miss, w_env, 0.0)
+        Lr = Lr + me * tr * env_r
+        Lg = Lg + me * tg * env_g
+        Lb = Lb + me * tb_ * env_b
+        active = active & valid
+
+        # ---- first-hit AOVs
+        firstm = jnp.logical_and(jnp.full_like(valid, first), valid)
+        Ar = jnp.where(firstm, P["albedo"][0], jnp.where(first, zero, Ar))
+        Ag = jnp.where(firstm, P["albedo"][1], jnp.where(first, zero, Ag))
+        Ab = jnp.where(firstm, P["albedo"][2], jnp.where(first, zero, Ab))
+        Nx = jnp.where(firstm, ns[0], jnp.where(first, zero, Nx))
+        Ny = jnp.where(firstm, ns[1], jnp.where(first, zero, Ny))
+        Nz = jnp.where(firstm, ns[2], jnp.where(first, zero, Nz))
+
+        # ---- emitter hit (MATS side)
+        hit_em = active & (em_id >= 0.0)
+        er, eg, eb = emitter_lookup(em_ref, n_emitters, em_id, [1, 2, 3])
+        front = vdot(ns, vneg(d)) >= 0.0  # d not normalized? camera d is unit
+        add_em = hit_em & front
+        if mis:
+            area_tot, pick_p = emitter_lookup(em_ref, n_emitters, em_id, [10, 11])
+            cos_e = vdot(ns, vneg(vnormalize(d)))
+            dist2 = vdot(vsub(p_hit, o), vsub(p_hit, o))
+            pdf_ems_here = jnp.where(
+                hit_em & (cos_e > 0.0),
+                (1.0 / jnp.maximum(area_tot, 1e-20)) * dist2
+                / jnp.maximum(jnp.abs(cos_e), 1e-12) / n_lights,
+                0.0,
+            )
+            denom = pdf_prev + pdf_ems_here
+            w_mats = jnp.where(
+                first | prev_disc,
+                1.0,
+                jnp.where(denom > EPS,
+                          pdf_prev / jnp.maximum(denom, 1e-20), w_mats_prev),
+            )
+        else:
+            w_mats = one
+        ae = jnp.where(add_em, w_mats, 0.0)
+        Lr = Lr + ae * tr * er
+        Lg = Lg + ae * tg * eg
+        Lb = Lb + ae * tb_ * eb
+
+        # ---- Russian roulette
+        st, u_rr = draw1(st)
+        tmax_c = jnp.maximum(tr, jnp.maximum(tg, tb_))
+        if mis:
+            succ = jnp.clip(tmax_c, EPS, 0.99)
+            die = (u_rr > succ) & active
+            inv_s = 1.0 / succ
+            tr = jnp.where(active, tr * inv_s, tr)
+            tg = jnp.where(active, tg * inv_s, tg)
+            tb_ = jnp.where(active, tb_ * inv_s, tb_)
+            active = active & (~die)
+        else:
+            succ = jnp.minimum(tmax_c, 0.99)
+            rr_on = b >= 3
+            die = jnp.logical_and(jnp.full_like(active, rr_on),
+                                  (u_rr > succ) & active)
+            inv_s = 1.0 / jnp.maximum(succ, 1e-12)
+            scale_on = jnp.logical_and(jnp.full_like(active, rr_on), active)
+            tr = jnp.where(scale_on, tr * inv_s, tr)
+            tg = jnp.where(scale_on, tg * inv_s, tg)
+            tb_ = jnp.where(scale_on, tb_ * inv_s, tb_)
+            active = active & (~die)
+
+        # ---- local incident direction
+        d_unit = vnormalize(d)
+        wi_l = to_local(sf, tf, ns, vneg(d_unit))
+
+        if mis:
+            # ---- EMS
+            st, nee = nee_closure(p_hit, st)
+            wi_w = nee["wi"]
+            wi_light_l = to_local(sf, tf, ns, wi_w)
+            nz_val = (jnp.abs(nee["value"][0]) > EPS) | \
+                     (jnp.abs(nee["value"][1]) > EPS) | \
+                     (jnp.abs(nee["value"][2]) > EPS)
+            blocked = occluded_mxu(
+                coeff_ref, sph_ref, p_hit, wi_w, jnp.full_like(mint, EPS),
+                nee["shadow_dist"], t_pad, tc,
+            )
+            visible = nz_val & (~blocked) & valid
+            f_l = bsdf_eval_c(P, wi_l, wi_light_l)
+            cos_l = vdot(wi_w, ns)
+            pdf_mat_at = jnp.where(visible, bsdf_pdf_c(P, wi_l, wi_light_l), 0.0)
+            pdf_ems = jnp.where(visible, nee["pdf_sa"] / n_lights, 0.0)
+            contrib = tuple(
+                jnp.where(visible, nee["value"][c] * cos_l * f_l[c] * n_lights, 0.0)
+                for c in range(3)
+            )
+            w_ems = jnp.where(
+                pdf_ems + pdf_mat_at > EPS,
+                pdf_ems / jnp.maximum(pdf_ems + pdf_mat_at, 1e-20),
+                0.0,
+            )
+            # ---- MATS sample
+            st, (um1, um2) = draw2(st)
+            wo_l, bw, bpdf, bdisc = bsdf_sample_c(P, wi_l, um1, um2)
+            w_ems = jnp.where(bdisc, 0.0, w_ems)
+            amask = jnp.where(active, w_ems, 0.0)
+            Lr = Lr + amask * tr * contrib[0]
+            Lg = Lg + amask * tg * contrib[1]
+            Lb = Lb + amask * tb_ * contrib[2]
+            pdf_prev_new = bpdf
+            prev_disc_new = bdisc
+            w_mats_new = w_mats
+        else:
+            st, (um1, um2) = draw2(st)
+            wo_l, bw, bpdf, bdisc = bsdf_sample_c(P, wi_l, um1, um2)
+            pdf_prev_new = pdf_prev
+            prev_disc_new = prev_disc
+            w_mats_new = w_mats_prev
+
+        tr = jnp.where(active, tr * bw[0], tr)
+        tg = jnp.where(active, tg * bw[1], tg)
+        tb_ = jnp.where(active, tb_ * bw[2], tb_)
+        alive = (jnp.abs(tr) > 1e-12) | (jnp.abs(tg) > 1e-12) | (jnp.abs(tb_) > 1e-12)
+        active = active & alive
+
+        wo_w = to_world(sf, tf, ns, wo_l)
+        o = vwhere(active, p_hit, o)
+        d = vwhere(active, wo_w, d)
+        return (o, d, tr, tg, tb_, Lr, Lg, Lb,
+                active.astype(jnp.float32), pdf_prev_new,
+                prev_disc_new.astype(jnp.float32), w_mats_new,
+                Ar, Ag, Ab, Nx, Ny, Nz, st)
+
+    carry = (
+        o0, d0, one, one, one, zero, zero, zero,
+        one, zero, zero, one,
+        zero, zero, zero, zero, zero, zero, st0,
+    )
+    carry = jax.lax.fori_loop(0, max_depth, body, carry)
+    (_, _, _, _, _, Lr, Lg, Lb, _, _, _, _, Ar, Ag, Ab, Nx, Ny, Nz, _) = carry
+
+    out_ref[0, 0] = Lr
+    out_ref[1, 0] = Lg
+    out_ref[2, 0] = Lb
+    out_ref[3, 0] = Ar
+    out_ref[4, 0] = Ag
+    out_ref[5, 0] = Ab
+    out_ref[6, 0] = Nx
+    out_ref[7, 0] = Ny
+    out_ref[8, 0] = Nz
+    out_ref[9, 0] = jnp.zeros_like(Lr)
+    out_ref[10, 0] = jnp.zeros_like(Lr)
+    out_ref[11, 0] = jnp.zeros_like(Lr)
+
+
+def mega_trace(rays, rngs, tables, *, mis, max_depth, n_lights, interpret=False):
+    """Launch the megakernel. rays [nb,8,S,L] f32, rngs [nb,4,S,L] u32 →
+    [12, nb, S, L] output rows (L rgb, albedo rgb, normal rgb, pad)."""
+    nb = rays.shape[0]
+    t_pad = tables["coeffs"].shape[0] // 4
+    tc = min(256, t_pad)
+    et = tables["et"]
+    te_pad = et.shape[1]
+    kern = partial(
+        _mega_kernel,
+        mis=mis,
+        max_depth=max_depth,
+        t_pad=t_pad,
+        tc=tc,
+        te_pad=te_pad,
+        n_emitters=tables["em_rows"].shape[0],
+        n_lights=n_lights,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((12, nb, S, L), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tables["coeffs"].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tables["attr"].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(et.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((et.shape[1], et.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tables["em_rows"].shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(tables["sph"].shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((12, 1, S, L), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        rays,
+        rngs,
+        tables["coeffs"],
+        tables["attr"],
+        et,
+        tables["etc"],
+        tables["em_rows"],
+        tables["env"].reshape(1, 4),
+        tables["sph"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# reconstruction-filter splat as a stencil (no scatter)
+# ---------------------------------------------------------------------------
+
+_FILTER_RADIUS_I = {"gaussian": 2, "mitchell": 2, "tent": 1, "box": 0}
+
+
+def _filt(name, x):
+    ax = jnp.abs(x)
+    if name == "gaussian":
+        stddev, radius = 0.5, 2.0
+        alpha = -1.0 / (2.0 * stddev * stddev)
+        return jnp.maximum(0.0, jnp.exp(alpha * ax * ax)
+                           - jnp.exp(alpha * radius * radius))
+    if name == "mitchell":
+        B = C = 1.0 / 3.0
+        x2 = ax * ax
+        x3 = x2 * ax
+        inner = ((12 - 9 * B - 6 * C) * x3 + (-18 + 12 * B + 6 * C) * x2
+                 + (6 - 2 * B)) / 6.0
+        outer = ((-B - 6 * C) * x3 + (6 * B + 30 * C) * x2
+                 + (-12 * B - 48 * C) * ax + (8 * B + 24 * C)) / 6.0
+        return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+    if name == "tent":
+        return jnp.maximum(0.0, 1.0 - ax)
+    if name == "box":
+        return jnp.where(ax <= 0.5, 1.0, 0.0)
+    raise ValueError(name)
+
+
+def _splat_kernel(vin_ref, out_ref, scratch, sem, *, pb, halo, width, rfilter):
+    """One output block of PB pixels; stencil-gathers its filter window.
+
+    vin_ref (HBM): [16, halo + Npad + halo] rows 0:9 values, 9 jx, 10 jy,
+    11 xq (x coordinate; −10000 marks padding lanes), 12:16 pad (Mosaic DMA
+    requires sublane counts in multiples of 8).
+    out_ref: [16, PB] rows 0:9 value·w, 9 w, 10:16 pad.
+    """
+    i = pl.program_id(0)
+    window_pad = scratch.shape[1]
+    cp = pltpu.make_async_copy(
+        vin_ref.at[:, pl.ds(i * pb, window_pad)], scratch, sem
+    )
+    cp.start()
+    cp.wait()
+
+    r = _FILTER_RADIUS_I[rfilter]
+    acc = [jnp.zeros((1, pb), jnp.float32) for _ in range(10)]
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            off = dy * width + dx
+            sl = halo - off
+            src = scratch[:, sl : sl + pb]  # [16, pb]
+            jx = src[9:10, :]
+            jy = src[10:11, :]
+            xq = src[11:12, :]
+            wx = _filt(rfilter, jx - 0.5 - dx)
+            wy = _filt(rfilter, jy - 0.5 - dy)
+            okx = (xq + dx >= 0.0) & (xq + dx < width) & (xq > -1000.0)
+            w = jnp.where(okx, wx * wy, 0.0)
+            for c in range(9):
+                acc[c] = acc[c] + src[c : c + 1, :] * w
+            acc[9] = acc[9] + w
+    for c in range(10):
+        out_ref[c : c + 1, :] = acc[c]
+    out_ref[10:16, :] = jnp.zeros_like(out_ref[10:16, :])
+
+
+def splat_window(n_pad, width, rfilter, pb=4096):
+    """(halo, window_pad, total_cols) — DMA slices must be 128-aligned on
+    the lane axis, so the per-block window is padded up to a 128 multiple
+    and the input carries the extra tail columns."""
+    r = _FILTER_RADIUS_I[rfilter]
+    halo = r * width + r
+    window = pb + 2 * halo
+    window_pad = (window + 127) // 128 * 128
+    total = n_pad + 2 * halo + (window_pad - window)
+    return halo, window_pad, total
+
+
+def splat_stencil(vin, n_pad, *, width, rfilter, pb=4096, interpret=False):
+    """vin: [16, splat_window(...)[2]] → [16, n_pad] filtered contributions
+    (rows 0:9 value·w, 9 w)."""
+    halo, window_pad, total = splat_window(n_pad, width, rfilter, pb)
+    assert vin.shape == (16, total), (vin.shape, total)
+    nb = n_pad // pb
+    kern = partial(_splat_kernel, pb=pb, halo=halo, width=width, rfilter=rfilter)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((16, pb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((16, window_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        # the 25 lane-unaligned shifted window reads each materialize a
+        # relayout copy; the default 16 MB scoped-vmem budget is too tight
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(vin)

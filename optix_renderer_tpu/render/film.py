@@ -56,8 +56,16 @@ def splat(
     rfilter: str,
     pos: jnp.ndarray,  # [N,2] continuous pixel coordinates
     layers: jnp.ndarray,  # [K,N,3] per-sample values (composite/albedo/normal)
+    mask: jnp.ndarray | None = None,  # [N] bool — False lanes contribute 0
 ) -> jnp.ndarray:
-    """Scatter-add filtered samples → [K,H,W,4] (rgb·w, w)."""
+    """Scatter-add filtered samples → [K,H,W,4] (rgb·w, w).
+
+    `mask` suppresses lanes by zeroing their filter weight while KEEPING their
+    in-bounds scatter position: TPU scatter-add serializes colliding updates,
+    so funnelling masked lanes to one clipped pixel (the out-of-bounds trick
+    used for padding lanes) collapses throughput when most lanes are masked —
+    the wavefront renderer masks ~80% of lanes per iteration.
+    """
     radius = FILTER_RADIUS[rfilter]
     support = int(2 * radius + 0.999)  # pixels per axis covered by the kernel
     k, n, _ = layers.shape
@@ -76,6 +84,8 @@ def splat(
             wy = _filter_eval(rfilter, py - iy.astype(jnp.float32))
             w = wx * wy
             inside = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+            if mask is not None:
+                inside = inside & mask
             w = jnp.where(inside, w, 0.0)
             ixc = jnp.clip(ix, 0, width - 1)
             iyc = jnp.clip(iy, 0, height - 1)

@@ -161,6 +161,8 @@ def render(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    wavefront: bool | None = None,
+    mega: bool | None = None,
 ) -> dict[str, np.ndarray]:
     """Full render: all sample rounds, pixel-chunked. Returns numpy layers.
 
@@ -177,7 +179,60 @@ def render(
     - SIGINT between chunks saves a final checkpoint (when a path is set) and
       returns the valid partial render with `out["spp_done"] < spp` — the
       interrupt-at-block-granularity contract.
+    - `wavefront`: path-regeneration mode (render/wavefront.py) — the default
+      for the surface path tracers when no checkpoint/resume is requested
+      (a mid-flight wavefront snapshot would lose in-flight paths). Films are
+      equal up to fp add order (tests/test_wavefront.py).
     """
+    from optix_renderer_tpu.render import wavefront as wf
+
+    # fused Pallas megakernel path (ops/pallas/mega.py) — the production
+    # TPU path for classic surface scenes; falls back to the general XLA
+    # integrators for everything it does not cover (media, image textures,
+    # disney, exotic emitters, >8k tris)
+    if (
+        mega is not False
+        and not wavefront
+        and not config.adaptive
+        and jax.default_backend() == "tpu"
+    ):
+        from optix_renderer_tpu.ops.pallas.mega import mega_eligible
+
+        if mega_eligible(scene, config):
+            from optix_renderer_tpu.render.mega_render import render_mega
+
+            return render_mega(
+                scene,
+                config,
+                sample_count=sample_count,
+                verbose=verbose,
+                preview_every=preview_every,
+                preview_callback=preview_callback,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+            )
+
+    if wavefront is None:
+        # measured on the axon TPU backend: the per-iteration film scatter
+        # makes regeneration SLOWER than the scan path (XLA scatter-add
+        # serializes; see BASELINE.md "backend cost model") — opt-in only
+        wavefront = False
+    if wavefront and config.integrator not in wf.WAVEFRONT_INTEGRATORS:
+        wavefront = False
+    if wavefront:
+        assert checkpoint_path is None and not resume, (
+            "wavefront mode has no mid-render checkpoint granularity; "
+            "use wavefront=False with --checkpoint/--resume"
+        )
+        return wf.render_wavefront(
+            scene,
+            config,
+            sample_count=sample_count,
+            verbose=verbose,
+            preview_every_iters=preview_every * 4 if preview_every else 0,
+            preview_callback=preview_callback,
+        )
     scene = preprocess(scene, config)
     spp = sample_count if sample_count is not None else config.sample_count
     w, h = config.width, config.height

@@ -578,9 +578,22 @@ class _Builder:
             sph_radius = np.zeros(0, np.float32)
             sph_shape = np.zeros(0, np.int32)
 
-        # LBVH for large meshes (scene.cpp:187-194 BVH rebuild analog);
-        # small scenes keep the brute-force sweep which beats pointer chasing.
-        if len(tri_v0) >= bvh_mod.MIN_TRIS_FOR_BVH:
+        # Acceleration choice (scene.cpp:187-194 BVH rebuild analog): up to
+        # MAX_MXU_TRIS the MXU matmul brute force wins on TPU (128
+        # flops/ray·tri on the systolic array beats any gather-based walk on
+        # this backend — see ops/pallas/mxu_intersect.py); larger meshes get
+        # the LBVH.
+        from optix_renderer_tpu.ops.pallas import mxu_intersect as mxu_mod
+
+        tri_mxu = None
+        if 0 < len(tri_v0) <= mxu_mod.MAX_MXU_TRIS:
+            bvh = bvh_mod.empty_bvh()
+            tri_mxu = jnp.asarray(
+                mxu_mod.build_tri_coeffs(
+                    tri_v0, tri_v1 - tri_v0, tri_v2 - tri_v0
+                )
+            )
+        elif len(tri_v0) > 0:
             bvh = bvh_mod.build_bvh(tri_v0, tri_v1, tri_v2)
         else:
             bvh = bvh_mod.empty_bvh()
@@ -622,6 +635,7 @@ class _Builder:
             sph_shape=_j(sph_shape, jnp.int32),
             bvh=bvh,
             sph_bvh=sph_bvh,
+            tri_mxu=tri_mxu,
         )
 
         # shape offsets into the global triangle array (for emitter CDFs)

@@ -105,6 +105,10 @@ class Geometry(NamedTuple):
     # OptixState.as.cpp:47-169; the reference CPU BVH indexes all shapes'
     # primitives in one tree, bvh.h:43-171). Empty → brute-force sweep.
     sph_bvh: Bvh
+    # MXU brute-force coefficient table (ops/pallas/mxu_intersect.py
+    # build_tri_coeffs, [4*Tpad,16]) for small/medium meshes; None disables
+    # the MXU path (large scenes use the LBVH, CPU uses the jnp sweep).
+    tri_mxu: jnp.ndarray | None = None
 
 
 class Shapes(NamedTuple):

@@ -92,6 +92,16 @@ def test_fd_bvh_scene():
     scene, config, _ = make_tessellated_cornell(
         width=32, height=24, spp=1, integrator="path_mats", nu=24, nv=12
     )
+    # medium meshes now default to the MXU brute path — force the LBVH so
+    # this test keeps covering the traversal detach+replay gradients
+    from optix_renderer_tpu.ops import bvh as bvh_mod
+
+    g = scene.geometry
+    v0 = np.asarray(g.tri_v0)
+    bvh = bvh_mod.build_bvh(
+        v0, v0 + np.asarray(g.tri_e1), v0 + np.asarray(g.tri_e2)
+    )
+    scene = scene._replace(geometry=g._replace(bvh=bvh, tri_mxu=None))
     assert scene.geometry.bvh.node_min.shape[0] > 0, "scene must use the BVH"
     config = dataclasses.replace(config, max_depth=3)
     _check_directions(

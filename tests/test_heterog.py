@@ -108,7 +108,7 @@ def test_delta_tracking_matches_analytic(const_scene):
     ro = jnp.tile(jnp.array([0.0, -0.5, 0.0]), (n, 1))
     rd = jnp.tile(jnp.array([0.0, 1.0, 0.0]), (n, 1))
     t_max = jnp.full(n, 1.0)
-    s, t_event = vg.delta_track(scene.media, med_id, s, ro, rd, t_max)
+    s, t_event, _w_score = vg.delta_track(scene.media, med_id, s, ro, rd, t_max)
     te = np.asarray(t_event)
     # escape probability through L=1 of σt=4: exp(-4)
     p_escape = float(np.mean(~np.isfinite(te)))

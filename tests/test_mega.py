@@ -1,0 +1,223 @@
+"""Megakernel correctness: component math ≡ XLA ops; end-to-end interpret render.
+
+The same CPU-validates-accelerator strategy as the reference's
+EDeviceMode::{Cpu,Optix} split (SURVEY §4): the XLA path is the reference
+implementation; the fused Pallas path must agree.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from optix_renderer_tpu.ops import bsdf as bsdf_ops
+from optix_renderer_tpu.ops.pallas import mega
+from optix_renderer_tpu.scene.data import Bsdfs, BsdfType
+
+
+def _mk_bsdfs():
+    """One of each supported type; disney row unused."""
+    B = 4
+    return Bsdfs(
+        type=jnp.array([0, 1, 2, 3], jnp.int32),
+        albedo_tex=jnp.full((B,), -1, jnp.int32),
+        int_ior=jnp.full((B,), 1.5046),
+        ext_ior=jnp.full((B,), 1.000277),
+        alpha=jnp.full((B,), 0.2),
+        kd=jnp.tile(jnp.array([[0.4, 0.3, 0.2]]), (B, 1)),
+        ks=jnp.full((B,), 0.6),
+        disney=jnp.zeros((B, 10)),
+    )
+
+
+def _to_sl(x):
+    """[N] → [S, L]-shaped (pad to one strip block)."""
+    n = x.shape[0]
+    total = mega.S * mega.L
+    pad = total - n
+    flat = jnp.concatenate([x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))])
+    if x.ndim == 1:
+        return flat.reshape(mega.S, mega.L)
+    return flat.reshape(mega.S, mega.L, -1)
+
+
+@pytest.mark.parametrize("btype", [0, 1, 2, 3])
+def test_bsdf_sample_component_matches_xla(btype):
+    rng_ = np.random.default_rng(btype)
+    n = 512
+    wi = rng_.normal(size=(n, 3)).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    # mostly upper hemisphere (diffuse/microfacet care), keep some below
+    wi[: n // 8, 2] *= -1
+    u2 = rng_.random((n, 2)).astype(np.float32)
+
+    bsdfs = _mk_bsdfs()
+    from optix_renderer_tpu.scene.data import Textures
+
+    textures = Textures(
+        type=jnp.zeros((1,), jnp.int32),
+        value=jnp.ones((1, 3)) * 0.7,
+        value2=jnp.zeros((1, 3)),
+        scale_uv=jnp.ones((1, 2)),
+        shift_uv=jnp.zeros((1, 2)),
+        image_id=jnp.full((1,), -1, jnp.int32),
+        image_data=jnp.zeros((1, 1, 1, 3)),
+        image_hw=jnp.ones((1, 2), jnp.int32),
+    )
+    bid = jnp.full((n,), btype, jnp.int32)
+    uv = jnp.zeros((n, 2))
+    ref = bsdf_ops.sample_bsdf(bsdfs, textures, bid, jnp.asarray(wi), uv,
+                               jnp.asarray(u2))
+
+    # component path: explicit per-lane params in [S,L] layout
+    P = {
+        "btype": _to_sl(jnp.full((n,), float(btype))),
+        "alpha": _to_sl(jnp.full((n,), 0.2)),
+        "int_ior": _to_sl(jnp.full((n,), 1.5046)),
+        "ext_ior": _to_sl(jnp.full((n,), 1.000277)),
+        "ks": _to_sl(jnp.full((n,), 0.6)),
+        "kd": tuple(_to_sl(jnp.full((n,), v)) for v in (0.4, 0.3, 0.2)),
+        "albedo": tuple(_to_sl(jnp.full((n,), 1.0)) for _ in range(3)),
+    }
+    wi_c = tuple(_to_sl(jnp.asarray(wi[:, c])) for c in range(3))
+    wo_c, w_c, pdf_c, disc_c = mega.bsdf_sample_c(
+        P, wi_c, _to_sl(jnp.asarray(u2[:, 0])), _to_sl(jnp.asarray(u2[:, 1]))
+    )
+
+    def flat(x):
+        return np.asarray(x).reshape(-1)[:n]
+
+    wo_got = np.stack([flat(wo_c[0]), flat(wo_c[1]), flat(wo_c[2])], -1)
+    np.testing.assert_allclose(wo_got, np.asarray(ref.wo), rtol=2e-4, atol=2e-5)
+    # diffuse albedo in ref comes from the texture (0.7); component path got 1.0
+    w_ref = np.asarray(ref.weight)
+    w_got = np.stack([flat(w_c[0]), flat(w_c[1]), flat(w_c[2])], -1)
+    if btype == 0:
+        w_ref = np.where(w_ref > 0, 1.0, 0.0)  # albedo factored out
+        np.testing.assert_allclose(w_got, w_ref, rtol=2e-4, atol=2e-5)
+    else:
+        np.testing.assert_allclose(w_got, w_ref, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(flat(pdf_c), np.asarray(ref.pdf), rtol=3e-4,
+                               atol=3e-4)
+    np.testing.assert_array_equal(flat(disc_c) != 0,
+                                  np.asarray(ref.is_discrete))
+
+
+def test_bsdf_eval_pdf_component_matches_xla():
+    rng_ = np.random.default_rng(7)
+    n = 512
+    wi = rng_.normal(size=(n, 3)).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    wi[:, 2] = np.abs(wi[:, 2])
+    wo = rng_.normal(size=(n, 3)).astype(np.float32)
+    wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+    wo[:, 2] = np.abs(wo[:, 2])
+
+    bsdfs = _mk_bsdfs()
+    from optix_renderer_tpu.scene.data import Textures
+
+    textures = Textures(
+        type=jnp.zeros((1,), jnp.int32),
+        value=jnp.ones((1, 3)),
+        value2=jnp.zeros((1, 3)),
+        scale_uv=jnp.ones((1, 2)),
+        shift_uv=jnp.zeros((1, 2)),
+        image_id=jnp.full((1,), -1, jnp.int32),
+        image_data=jnp.zeros((1, 1, 1, 3)),
+        image_hw=jnp.ones((1, 2), jnp.int32),
+    )
+    uv = jnp.zeros((n, 2))
+    for btype in (0, 3):
+        bid = jnp.full((n,), btype, jnp.int32)
+        f_ref = bsdf_ops.eval_bsdf(bsdfs, textures, bid, jnp.asarray(wi),
+                                   jnp.asarray(wo), uv)
+        p_ref = bsdf_ops.pdf_bsdf(bsdfs, textures, bid, jnp.asarray(wi),
+                                  jnp.asarray(wo), uv)
+        P = {
+            "btype": _to_sl(jnp.full((n,), float(btype))),
+            "alpha": _to_sl(jnp.full((n,), 0.2)),
+            "int_ior": _to_sl(jnp.full((n,), 1.5046)),
+            "ext_ior": _to_sl(jnp.full((n,), 1.000277)),
+            "ks": _to_sl(jnp.full((n,), 0.6)),
+            "kd": tuple(_to_sl(jnp.full((n,), v)) for v in (0.4, 0.3, 0.2)),
+            "albedo": tuple(_to_sl(jnp.full((n,), 1.0)) for _ in range(3)),
+        }
+        wi_c = tuple(_to_sl(jnp.asarray(wi[:, c])) for c in range(3))
+        wo_c = tuple(_to_sl(jnp.asarray(wo[:, c])) for c in range(3))
+        f_got = mega.bsdf_eval_c(P, wi_c, wo_c)
+        p_got = mega.bsdf_pdf_c(P, wi_c, wo_c)
+
+        def flat(x):
+            return np.asarray(x).reshape(-1)[:n]
+
+        got = np.stack([flat(f_got[0]), flat(f_got[1]), flat(f_got[2])], -1)
+        np.testing.assert_allclose(got, np.asarray(f_ref), rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(flat(p_got), np.asarray(p_ref), rtol=3e-4,
+                                   atol=3e-5)
+
+
+def test_splat_stencil_matches_scatter():
+    """Pixel-ordered stencil splat ≡ film.splat scatter."""
+    from optix_renderer_tpu.render import film
+
+    w, h = 64, 32
+    n_pix = w * h
+    n_pad = mega.S * mega.L  # one block
+    rng_ = np.random.default_rng(3)
+    jitter = rng_.random((n_pix, 2)).astype(np.float32)
+    vals = rng_.random((3, n_pix, 3)).astype(np.float32)
+
+    pos = (np.stack([np.arange(n_pix) % w, np.arange(n_pix) // w], -1)
+           .astype(np.float32) + jitter)
+    ref = film.splat(w, h, "gaussian", jnp.asarray(pos), jnp.asarray(vals))
+
+    halo, _wp, total = mega.splat_window(n_pad, w, "gaussian", pb=n_pad)
+    vin = np.zeros((16, n_pad), np.float32)
+    vin[0:9, :n_pix] = vals.transpose(0, 2, 1).reshape(9, n_pix)
+    vin[9, :n_pix] = jitter[:, 0]
+    vin[10, :n_pix] = jitter[:, 1]
+    vin[11, :] = -10000.0
+    vin[11, :n_pix] = (np.arange(n_pix) % w).astype(np.float32)
+    vin = np.pad(vin, ((0, 0), (halo, total - n_pad - halo)))
+    vin[11, :halo] = -10000.0
+    vin[11, halo + n_pad:] = -10000.0
+
+    out = mega.splat_stencil(jnp.asarray(vin), n_pad, width=w,
+                             rfilter="gaussian", pb=n_pad, interpret=True)
+    got_vals = np.asarray(out[:9, :n_pix]).reshape(3, 3, h, w).transpose(0, 2, 3, 1)
+    got_w = np.asarray(out[9, :n_pix]).reshape(h, w)
+    np.testing.assert_allclose(got_vals, np.asarray(ref[..., :3]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(got_w, np.asarray(ref[0, ..., 3]), rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_mega_render_matches_scan_cornell():
+    """End-to-end interpret-mode megakernel ≈ scan render on a small Cornell.
+
+    Same sampler streams; FP association differs (MXU matmul MT), so a small
+    fraction of paths diverge through RR/selection — compare robustly.
+    """
+    from optix_renderer_tpu.render.mega_render import render_mega
+    from optix_renderer_tpu.render.render import render
+    from optix_renderer_tpu.scene.presets import make_cornell_box
+
+    scene, config, _ = make_cornell_box(width=24, height=16, spp=1,
+                                        integrator="path_mis")
+    config = dataclasses.replace(config, max_depth=3)
+    assert mega.mega_eligible(scene, config)
+
+    ref = render(scene, config, sample_count=2)
+    got = render_mega(scene, config, sample_count=2, interpret=True)
+
+    a = np.asarray(ref["composite"])
+    b = np.asarray(got["composite"])
+    # pixel-level: most pixels bit-comparable (identical streams), a few
+    # diverge via RR — median relative error must be tiny
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert np.mean(a) == pytest.approx(np.mean(b), rel=0.1)
+    np.testing.assert_allclose(got["albedo"], ref["albedo"], atol=2e-3)
