@@ -342,7 +342,27 @@ def _add_distributed_flags(sp) -> None:
     )
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA/Mosaic compilation cache — the NVRTC PTX-cache analog
+    (OptixState.rtc.cpp:172-208). First compiles through the axon tunnel cost
+    10-100+ s; cached reruns start in seconds."""
+    import os
+
+    import jax
+
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_tpu_cache"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError):
+        pass  # read-only FS or older jax: run without the cache
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     p = argparse.ArgumentParser(
         prog="optix_renderer_tpu", description=__doc__.split("\n")[0]
     )

@@ -1,27 +1,17 @@
-"""Fused path-tracing megakernel: the whole bounce loop in ONE pallas_call.
+"""In-kernel path-tracing component library + host table packing.
 
-The TPU reincarnation of the reference's OptiX megakernel
-(`__raygen__perspective` + `__closesthit__radiance`,
-include/nori/optix/cuda/raygen.cpp:75-147, shading.cpp:62-93) — and the
-fulfilment of the BASELINE north star ("BVH build + traversal, ray-triangle
-intersection, BSDF sample/eval, NEE with MIS ... are all Pallas kernels"):
+Shared substrate for the regenerating megakernel (ops/pallas/pathk.py — the
+production TPU path): component-wise ((x,y,z) tuples of [S,L] arrays) BSDF
+sample/eval/pdf for the four classic BSDFs (src/bsdf/*.cpp semantics via
+ops/bsdf.py), NEE with the balance heuristic (path_mis.cpp:74-140), sphere
+intersection (sphere.cpp:67-124), the MXU matmul form of Möller–Trumbore
+closest-hit with one-hot attribute fetch — the TPU-native analog of the
+reference's SBT hit-group records (OptixState.cpp:344-411) — and the host
+packers that lower the scene pytree into kernel tables.
 
-* camera rays + pcg32 sampler states enter in strip layout [8, L]; the
-  `max_depth`-bounce `path_mis`/`path_mats` loop runs as a `fori_loop`
-  INSIDE the kernel — zero XLA ops per bounce;
-* closest-hit and shadow rays use the MXU matmul form of Möller–Trumbore
-  (ops/pallas/mxu_intersect.py): per-sublane [TC,16]@[16,L] contractions at
-  HIGHEST precision;
-* per-hit attributes (shading normals, UVs, BSDF params, emitter link) are
-  fetched by ONE-HOT MATMULS against a per-triangle attribute table — the
-  TPU-native analog of the reference's SBT hit-group records
-  (OptixState.cpp:344-411): no gathers anywhere;
-* BSDF sample/eval/pdf (diffuse, mirror, dielectric, Beckmann microfacet —
-  src/bsdf/*.cpp semantics via ops/bsdf.py) and NEE with the balance
-  heuristic (path_mis.cpp:74-140) are inlined component-wise;
-* pcg32 draws reuse core/rng.py verbatim (validated bit-exact in-kernel),
-  with the same per-(pixel,sample) streams as the XLA path — so the two
-  backends are statistically identical and differ only in FP association.
+pcg32 draws reuse core/rng.py verbatim (validated bit-exact in-kernel), with
+the same per-(pixel,sample) streams as the XLA path — so the two backends
+are statistically identical and differ only in FP association.
 
 Scenes are eligible (see `mega_eligible`) when geometry is ≤MAX_MXU_TRIS
 triangles, materials are the four classic BSDFs with constant textures, and
@@ -29,8 +19,8 @@ emitters are area/point (+ constant envmap). Everything else falls back to
 the general XLA wavefront path — the same graceful-degradation contract as
 the reference's GPU→CPU fallback (render.cpp:567-573).
 
-Why a megakernel at all: on this backend each XLA op costs ~0.3-1 ms at
-wavefront sizes and jit-boundary outputs stream at ~170 MB/s (measured —
+Why fused kernels at all: on this backend each XLA op costs ~0.3-1 ms at
+wavefront sizes and jit-boundary outputs stream at ~10-170 MB/s (measured —
 BASELINE.md "backend cost model"), so the scan integrator's ~2500-op graph
 costs seconds regardless of FLOPs. One Pallas call is bounded by real
 compute + one dispatch.
@@ -890,428 +880,3 @@ def nee_sample(em_ref, et_ref, env_ref, n_emitters, te_pad, p_hit, st,
         "wi": wi, "value": value, "pdf_sa": pdf_sa,
         "shadow_dist": shadow_dist, "is_delta": is_pt, "is_env": is_env,
     }
-
-
-# ---------------------------------------------------------------------------
-# the megakernel: full bounce loop per ray block
-# ---------------------------------------------------------------------------
-
-
-def _mega_kernel(
-    ray_ref,  # [1, 8, S, L]: ox oy oz dx dy dz mint maxt
-    rng_ref,  # [1, 4, S, L] uint32: state_hi state_lo inc_hi inc_lo
-    coeff_ref,  # [4*Tpad, 16]
-    attr_ref,  # [A_COLS, Tpad]
-    et_ref,  # [ET_COLS, TEpad] (one-hot fetch layout)
-    etc_ref,  # [TEpad, ET_COLS] (column-compare layout)
-    em_ref,  # [E, ER_COLS] SMEM
-    env_ref,  # [1, 4] SMEM
-    sph_ref,  # [Ns, 16] SMEM sphere rows
-    out_ref,  # [12, 1, S, L]
-    *,
-    mis: bool,
-    max_depth: int,
-    t_pad: int,
-    tc: int,
-    te_pad: int,
-    n_emitters: int,
-    n_lights: int,
-):
-    o0 = (ray_ref[0, 0], ray_ref[0, 1], ray_ref[0, 2])
-    d0 = (ray_ref[0, 3], ray_ref[0, 4], ray_ref[0, 5])
-    mint0 = ray_ref[0, 6]
-    maxt0 = ray_ref[0, 7]
-    st0 = (rng_ref[0, 0], rng_ref[0, 1], rng_ref[0, 2], rng_ref[0, 3])
-
-    zero = jnp.zeros_like(mint0)
-    one = jnp.ones_like(mint0)
-
-    def nee_closure(p_hit, st):
-        return nee_sample(em_ref, et_ref, env_ref, n_emitters, te_pad, p_hit, st,
-                          etc_ref=etc_ref)
-
-    def body(b, carry):
-        (o, d, tr, tg, tb_, Lr, Lg, Lb, active_f, pdf_prev, prev_disc_f,
-         w_mats_prev, Ar, Ag, Ab, Nx, Ny, Nz, st) = carry
-        # bool state rides the loop carry as f32 (Mosaic cannot legalize
-        # scf.for with vector<i1> carries)
-        active = active_f > 0.5
-        prev_disc = prev_disc_f > 0.5
-        first = b == 0
-        mint = jnp.where(first, mint0, jnp.full_like(mint0, EPS))
-        maxt = jnp.where(first, maxt0, jnp.full_like(maxt0, BIG))
-
-        hit = closest_hit(coeff_ref, o, d, mint, maxt, t_pad, tc,
-                          want_attrs=True, attr_ref=attr_ref)
-        tri_valid = hit["idf"] >= 0.0
-        at = hit["attr"]  # [A_COLS, S, L]
-        # exact per-winner Möller–Trumbore refine (selection ran at bf16x3;
-        # values must be f32-exact for shading and MIS)
-        w_v0 = (at[30], at[31], at[32])
-        w_e1 = (at[33], at[34], at[35])
-        w_e2 = (at[36], at[37], at[38])
-        pvec = vcross(d, w_e2)
-        r_det = vdot(w_e1, pvec)
-        r_inv = 1.0 / jnp.where(jnp.abs(r_det) > 1e-12, r_det, 1e-12)
-        tvec = vsub(o, w_v0)
-        u_r = vdot(tvec, pvec) * r_inv
-        qvec = vcross(tvec, w_e1)
-        v_r = vdot(d, qvec) * r_inv
-        t_r = vdot(w_e2, qvec) * r_inv
-        t_tri = jnp.where(tri_valid, t_r, hit["t"])
-        # analytic spheres must beat the best triangle (sphere.cpp contract)
-        t_sph, sid = sphere_hit(sph_ref, o, d, mint, t_tri)
-        sphere_wins = sid >= 0.0
-        t_best = jnp.where(sphere_wins, t_sph, t_tri)
-        valid = tri_valid | sphere_wins
-
-        # shading frame (make_interaction + make_frame contract)
-        u = jnp.where(tri_valid, u_r, hit["u"])
-        v = jnp.where(tri_valid, v_r, hit["v"])
-        ns = vnormalize((
-            at[3] + u * at[6] + v * at[9],
-            at[4] + u * at[7] + v * at[10],
-            at[5] + u * at[8] + v * at[11],
-        ))
-        p_hit = vadd(o, vscale(d, jnp.where(valid, t_best, 1.0)))
-
-        P = {
-            "btype": at[18],
-            "alpha": at[19],
-            "int_ior": at[20],
-            "ext_ior": at[21],
-            "ks": at[22],
-            "kd": (at[23], at[24], at[25]),
-            "albedo": (at[26], at[27], at[28]),
-        }
-        P, ns, _ = sphere_params(sph_ref, sid, P, ns, p_hit)
-        sf, tf = onb(ns)
-        em_id = jnp.where(tri_valid & (~sphere_wins), at[29], -1.0)
-
-        # ---- miss → constant envmap (MIS-weighted as li_path_mis)
-        has_env = env_ref[0, 3] > 0.0
-        env_r, env_g, env_b = env_ref[0, 0], env_ref[0, 1], env_ref[0, 2]
-        miss = active & (~valid)
-        if mis:
-            pdf_env_dir = jnp.where(has_env, 1.0 / (4.0 * PI) / n_lights, 0.0)
-            denom_env = pdf_prev + pdf_env_dir
-            w_env = jnp.where(
-                first | prev_disc,
-                1.0,
-                jnp.where(denom_env > EPS,
-                          pdf_prev / jnp.maximum(denom_env, 1e-20), 1.0),
-            )
-        else:
-            w_env = one
-        me = jnp.where(miss, w_env, 0.0)
-        Lr = Lr + me * tr * env_r
-        Lg = Lg + me * tg * env_g
-        Lb = Lb + me * tb_ * env_b
-        active = active & valid
-
-        # ---- first-hit AOVs
-        firstm = jnp.logical_and(jnp.full_like(valid, first), valid)
-        Ar = jnp.where(firstm, P["albedo"][0], jnp.where(first, zero, Ar))
-        Ag = jnp.where(firstm, P["albedo"][1], jnp.where(first, zero, Ag))
-        Ab = jnp.where(firstm, P["albedo"][2], jnp.where(first, zero, Ab))
-        Nx = jnp.where(firstm, ns[0], jnp.where(first, zero, Nx))
-        Ny = jnp.where(firstm, ns[1], jnp.where(first, zero, Ny))
-        Nz = jnp.where(firstm, ns[2], jnp.where(first, zero, Nz))
-
-        # ---- emitter hit (MATS side)
-        hit_em = active & (em_id >= 0.0)
-        er, eg, eb = emitter_lookup(em_ref, n_emitters, em_id, [1, 2, 3])
-        front = vdot(ns, vneg(d)) >= 0.0  # d not normalized? camera d is unit
-        add_em = hit_em & front
-        if mis:
-            area_tot, pick_p = emitter_lookup(em_ref, n_emitters, em_id, [10, 11])
-            cos_e = vdot(ns, vneg(vnormalize(d)))
-            dist2 = vdot(vsub(p_hit, o), vsub(p_hit, o))
-            pdf_ems_here = jnp.where(
-                hit_em & (cos_e > 0.0),
-                (1.0 / jnp.maximum(area_tot, 1e-20)) * dist2
-                / jnp.maximum(jnp.abs(cos_e), 1e-12) / n_lights,
-                0.0,
-            )
-            denom = pdf_prev + pdf_ems_here
-            w_mats = jnp.where(
-                first | prev_disc,
-                1.0,
-                jnp.where(denom > EPS,
-                          pdf_prev / jnp.maximum(denom, 1e-20), w_mats_prev),
-            )
-        else:
-            w_mats = one
-        ae = jnp.where(add_em, w_mats, 0.0)
-        Lr = Lr + ae * tr * er
-        Lg = Lg + ae * tg * eg
-        Lb = Lb + ae * tb_ * eb
-
-        # ---- Russian roulette
-        st, u_rr = draw1(st)
-        tmax_c = jnp.maximum(tr, jnp.maximum(tg, tb_))
-        if mis:
-            succ = jnp.clip(tmax_c, EPS, 0.99)
-            die = (u_rr > succ) & active
-            inv_s = 1.0 / succ
-            tr = jnp.where(active, tr * inv_s, tr)
-            tg = jnp.where(active, tg * inv_s, tg)
-            tb_ = jnp.where(active, tb_ * inv_s, tb_)
-            active = active & (~die)
-        else:
-            succ = jnp.minimum(tmax_c, 0.99)
-            rr_on = b >= 3
-            die = jnp.logical_and(jnp.full_like(active, rr_on),
-                                  (u_rr > succ) & active)
-            inv_s = 1.0 / jnp.maximum(succ, 1e-12)
-            scale_on = jnp.logical_and(jnp.full_like(active, rr_on), active)
-            tr = jnp.where(scale_on, tr * inv_s, tr)
-            tg = jnp.where(scale_on, tg * inv_s, tg)
-            tb_ = jnp.where(scale_on, tb_ * inv_s, tb_)
-            active = active & (~die)
-
-        # ---- local incident direction
-        d_unit = vnormalize(d)
-        wi_l = to_local(sf, tf, ns, vneg(d_unit))
-
-        if mis:
-            # ---- EMS
-            st, nee = nee_closure(p_hit, st)
-            wi_w = nee["wi"]
-            wi_light_l = to_local(sf, tf, ns, wi_w)
-            nz_val = (jnp.abs(nee["value"][0]) > EPS) | \
-                     (jnp.abs(nee["value"][1]) > EPS) | \
-                     (jnp.abs(nee["value"][2]) > EPS)
-            blocked = occluded_mxu(
-                coeff_ref, sph_ref, p_hit, wi_w, jnp.full_like(mint, EPS),
-                nee["shadow_dist"], t_pad, tc,
-            )
-            visible = nz_val & (~blocked) & valid
-            f_l = bsdf_eval_c(P, wi_l, wi_light_l)
-            cos_l = vdot(wi_w, ns)
-            pdf_mat_at = jnp.where(visible, bsdf_pdf_c(P, wi_l, wi_light_l), 0.0)
-            pdf_ems = jnp.where(visible, nee["pdf_sa"] / n_lights, 0.0)
-            contrib = tuple(
-                jnp.where(visible, nee["value"][c] * cos_l * f_l[c] * n_lights, 0.0)
-                for c in range(3)
-            )
-            w_ems = jnp.where(
-                pdf_ems + pdf_mat_at > EPS,
-                pdf_ems / jnp.maximum(pdf_ems + pdf_mat_at, 1e-20),
-                0.0,
-            )
-            # ---- MATS sample
-            st, (um1, um2) = draw2(st)
-            wo_l, bw, bpdf, bdisc = bsdf_sample_c(P, wi_l, um1, um2)
-            w_ems = jnp.where(bdisc, 0.0, w_ems)
-            amask = jnp.where(active, w_ems, 0.0)
-            Lr = Lr + amask * tr * contrib[0]
-            Lg = Lg + amask * tg * contrib[1]
-            Lb = Lb + amask * tb_ * contrib[2]
-            pdf_prev_new = bpdf
-            prev_disc_new = bdisc
-            w_mats_new = w_mats
-        else:
-            st, (um1, um2) = draw2(st)
-            wo_l, bw, bpdf, bdisc = bsdf_sample_c(P, wi_l, um1, um2)
-            pdf_prev_new = pdf_prev
-            prev_disc_new = prev_disc
-            w_mats_new = w_mats_prev
-
-        tr = jnp.where(active, tr * bw[0], tr)
-        tg = jnp.where(active, tg * bw[1], tg)
-        tb_ = jnp.where(active, tb_ * bw[2], tb_)
-        alive = (jnp.abs(tr) > 1e-12) | (jnp.abs(tg) > 1e-12) | (jnp.abs(tb_) > 1e-12)
-        active = active & alive
-
-        wo_w = to_world(sf, tf, ns, wo_l)
-        o = vwhere(active, p_hit, o)
-        d = vwhere(active, wo_w, d)
-        return (o, d, tr, tg, tb_, Lr, Lg, Lb,
-                active.astype(jnp.float32), pdf_prev_new,
-                prev_disc_new.astype(jnp.float32), w_mats_new,
-                Ar, Ag, Ab, Nx, Ny, Nz, st)
-
-    carry = (
-        o0, d0, one, one, one, zero, zero, zero,
-        one, zero, zero, one,
-        zero, zero, zero, zero, zero, zero, st0,
-    )
-    carry = jax.lax.fori_loop(0, max_depth, body, carry)
-    (_, _, _, _, _, Lr, Lg, Lb, _, _, _, _, Ar, Ag, Ab, Nx, Ny, Nz, _) = carry
-
-    out_ref[0, 0] = Lr
-    out_ref[1, 0] = Lg
-    out_ref[2, 0] = Lb
-    out_ref[3, 0] = Ar
-    out_ref[4, 0] = Ag
-    out_ref[5, 0] = Ab
-    out_ref[6, 0] = Nx
-    out_ref[7, 0] = Ny
-    out_ref[8, 0] = Nz
-    out_ref[9, 0] = jnp.zeros_like(Lr)
-    out_ref[10, 0] = jnp.zeros_like(Lr)
-    out_ref[11, 0] = jnp.zeros_like(Lr)
-
-
-def mega_trace(rays, rngs, tables, *, mis, max_depth, n_lights, interpret=False):
-    """Launch the megakernel. rays [nb,8,S,L] f32, rngs [nb,4,S,L] u32 →
-    [12, nb, S, L] output rows (L rgb, albedo rgb, normal rgb, pad)."""
-    nb = rays.shape[0]
-    t_pad = tables["coeffs"].shape[0] // 4
-    tc = min(256, t_pad)
-    et = tables["et"]
-    te_pad = et.shape[1]
-    kern = partial(
-        _mega_kernel,
-        mis=mis,
-        max_depth=max_depth,
-        t_pad=t_pad,
-        tc=tc,
-        te_pad=te_pad,
-        n_emitters=tables["em_rows"].shape[0],
-        n_lights=n_lights,
-    )
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((12, nb, S, L), jnp.float32),
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 8, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables["coeffs"].shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables["attr"].shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(et.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((et.shape[1], et.shape[0]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tables["em_rows"].shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(tables["sph"].shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((12, 1, S, L), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(
-        rays,
-        rngs,
-        tables["coeffs"],
-        tables["attr"],
-        et,
-        tables["etc"],
-        tables["em_rows"],
-        tables["env"].reshape(1, 4),
-        tables["sph"],
-    )
-
-
-# ---------------------------------------------------------------------------
-# reconstruction-filter splat as a stencil (no scatter)
-# ---------------------------------------------------------------------------
-
-_FILTER_RADIUS_I = {"gaussian": 2, "mitchell": 2, "tent": 1, "box": 0}
-
-
-def _filt(name, x):
-    ax = jnp.abs(x)
-    if name == "gaussian":
-        stddev, radius = 0.5, 2.0
-        alpha = -1.0 / (2.0 * stddev * stddev)
-        return jnp.maximum(0.0, jnp.exp(alpha * ax * ax)
-                           - jnp.exp(alpha * radius * radius))
-    if name == "mitchell":
-        B = C = 1.0 / 3.0
-        x2 = ax * ax
-        x3 = x2 * ax
-        inner = ((12 - 9 * B - 6 * C) * x3 + (-18 + 12 * B + 6 * C) * x2
-                 + (6 - 2 * B)) / 6.0
-        outer = ((-B - 6 * C) * x3 + (6 * B + 30 * C) * x2
-                 + (-12 * B - 48 * C) * ax + (8 * B + 24 * C)) / 6.0
-        return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
-    if name == "tent":
-        return jnp.maximum(0.0, 1.0 - ax)
-    if name == "box":
-        return jnp.where(ax <= 0.5, 1.0, 0.0)
-    raise ValueError(name)
-
-
-def _splat_kernel(vin_ref, out_ref, scratch, sem, *, pb, halo, width, rfilter):
-    """One output block of PB pixels; stencil-gathers its filter window.
-
-    vin_ref (HBM): [16, halo + Npad + halo] rows 0:9 values, 9 jx, 10 jy,
-    11 xq (x coordinate; −10000 marks padding lanes), 12:16 pad (Mosaic DMA
-    requires sublane counts in multiples of 8).
-    out_ref: [16, PB] rows 0:9 value·w, 9 w, 10:16 pad.
-    """
-    i = pl.program_id(0)
-    window_pad = scratch.shape[1]
-    cp = pltpu.make_async_copy(
-        vin_ref.at[:, pl.ds(i * pb, window_pad)], scratch, sem
-    )
-    cp.start()
-    cp.wait()
-
-    r = _FILTER_RADIUS_I[rfilter]
-    acc = [jnp.zeros((1, pb), jnp.float32) for _ in range(10)]
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            off = dy * width + dx
-            sl = halo - off
-            src = scratch[:, sl : sl + pb]  # [16, pb]
-            jx = src[9:10, :]
-            jy = src[10:11, :]
-            xq = src[11:12, :]
-            wx = _filt(rfilter, jx - 0.5 - dx)
-            wy = _filt(rfilter, jy - 0.5 - dy)
-            okx = (xq + dx >= 0.0) & (xq + dx < width) & (xq > -1000.0)
-            w = jnp.where(okx, wx * wy, 0.0)
-            for c in range(9):
-                acc[c] = acc[c] + src[c : c + 1, :] * w
-            acc[9] = acc[9] + w
-    for c in range(10):
-        out_ref[c : c + 1, :] = acc[c]
-    out_ref[10:16, :] = jnp.zeros_like(out_ref[10:16, :])
-
-
-def splat_window(n_pad, width, rfilter, pb=4096):
-    """(halo, window_pad, total_cols) — DMA slices must be 128-aligned on
-    the lane axis, so the per-block window is padded up to a 128 multiple
-    and the input carries the extra tail columns."""
-    r = _FILTER_RADIUS_I[rfilter]
-    halo = r * width + r
-    window = pb + 2 * halo
-    window_pad = (window + 127) // 128 * 128
-    total = n_pad + 2 * halo + (window_pad - window)
-    return halo, window_pad, total
-
-
-def splat_stencil(vin, n_pad, *, width, rfilter, pb=4096, interpret=False):
-    """vin: [16, splat_window(...)[2]] → [16, n_pad] filtered contributions
-    (rows 0:9 value·w, 9 w)."""
-    halo, window_pad, total = splat_window(n_pad, width, rfilter, pb)
-    assert vin.shape == (16, total), (vin.shape, total)
-    nb = n_pad // pb
-    kern = partial(_splat_kernel, pb=pb, halo=halo, width=width, rfilter=rfilter)
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
-        grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((16, pb), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((16, window_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        # the 25 lane-unaligned shifted window reads each materialize a
-        # relayout copy; the default 16 MB scoped-vmem budget is too tight
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(vin)

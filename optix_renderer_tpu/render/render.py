@@ -142,12 +142,18 @@ def load_checkpoint(path: str, config: RenderConfig):
 
 
 def _layers_out(acc) -> dict[str, np.ndarray]:
-    layers = np.asarray(film.to_bitmap(acc))
+    # ONE bulk fetch + host-side normalization: on the axon backend every
+    # distinct device slice is its own compiled program (~1.5 s first call)
+    # and fresh transfers run ~10-20 MB/s, so fetching acc once and slicing
+    # in numpy is ~5x faster than per-layer device fetches (measured).
+    a = np.asarray(acc)  # [3, H, W, 4]
+    w = a[..., 3:4]
+    layers = np.where(w > 1e-9, a[..., :3] / np.maximum(w, 1e-9), 0.0)
     return {
         "composite": layers[0],
         "albedo": layers[1],
         "normal": layers[2],
-        "weights": np.asarray(acc[0, ..., 3]),
+        "weights": a[0, ..., 3],
     }
 
 
@@ -196,9 +202,9 @@ def render(
         and not config.adaptive
         and jax.default_backend() == "tpu"
     ):
-        from optix_renderer_tpu.ops.pallas.mega import mega_eligible
+        from optix_renderer_tpu.ops.pallas.pathk import pathk_eligible
 
-        if mega_eligible(scene, config):
+        if pathk_eligible(scene, config):
             from optix_renderer_tpu.render.mega_render import render_mega
 
             return render_mega(

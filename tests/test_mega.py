@@ -158,66 +158,75 @@ def test_bsdf_eval_pdf_component_matches_xla():
                                    atol=3e-5)
 
 
-def test_splat_stencil_matches_scatter():
-    """Pixel-ordered stencil splat ≡ film.splat scatter."""
-    from optix_renderer_tpu.render import film
+def test_fis_jitter_samples_filter_shape():
+    """Filter importance sampling: jitter pushed through _fis_jitter2 must be
+    distributed as the reconstruction filter (both components)."""
+    from optix_renderer_tpu.ops.pallas import pathk
+    from optix_renderer_tpu.render.film import FILTER_RADIUS
 
-    w, h = 64, 32
-    n_pix = w * h
-    n_pad = mega.S * mega.L  # one block
-    rng_ = np.random.default_rng(3)
-    jitter = rng_.random((n_pix, 2)).astype(np.float32)
-    vals = rng_.random((3, n_pix, 3)).astype(np.float32)
-
-    pos = (np.stack([np.arange(n_pix) % w, np.arange(n_pix) // w], -1)
-           .astype(np.float32) + jitter)
-    ref = film.splat(w, h, "gaussian", jnp.asarray(pos), jnp.asarray(vals))
-
-    halo, _wp, total = mega.splat_window(n_pad, w, "gaussian", pb=n_pad)
-    vin = np.zeros((16, n_pad), np.float32)
-    vin[0:9, :n_pix] = vals.transpose(0, 2, 1).reshape(9, n_pix)
-    vin[9, :n_pix] = jitter[:, 0]
-    vin[10, :n_pix] = jitter[:, 1]
-    vin[11, :] = -10000.0
-    vin[11, :n_pix] = (np.arange(n_pix) % w).astype(np.float32)
-    vin = np.pad(vin, ((0, 0), (halo, total - n_pad - halo)))
-    vin[11, :halo] = -10000.0
-    vin[11, halo + n_pad:] = -10000.0
-
-    out = mega.splat_stencil(jnp.asarray(vin), n_pad, width=w,
-                             rfilter="gaussian", pb=n_pad, interpret=True)
-    got_vals = np.asarray(out[:9, :n_pix]).reshape(3, 3, h, w).transpose(0, 2, 3, 1)
-    got_w = np.asarray(out[9, :n_pix]).reshape(h, w)
-    np.testing.assert_allclose(got_vals, np.asarray(ref[..., :3]), rtol=1e-4,
-                               atol=1e-5)
-    np.testing.assert_allclose(got_w, np.asarray(ref[0, ..., 3]), rtol=1e-4,
-                               atol=1e-5)
+    rng_ = np.random.default_rng(0)
+    u1 = jnp.asarray(rng_.random(400_000).astype(np.float32))
+    u2 = jnp.asarray(rng_.random(400_000).astype(np.float32))
+    for name in ("gaussian", "tent"):
+        jx, jy = pathk._fis_jitter2(u1, u2, name)
+        r = FILTER_RADIUS[name]
+        for j in (np.asarray(jx) - 0.5, np.asarray(jy) - 0.5):
+            hist, edges = np.histogram(j, bins=41, range=(-r, r), density=True)
+            mid = 0.5 * (edges[1:] + edges[:-1])
+            f = pathk._filter_eval_np(name, mid)
+            f = f / np.trapezoid(f, mid)
+            np.testing.assert_allclose(hist, f, atol=0.02 * f.max())
 
 
 @pytest.mark.heavy
-def test_mega_render_matches_scan_cornell():
-    """End-to-end interpret-mode megakernel ≈ scan render on a small Cornell.
+def test_pathk_render_matches_scan_cornell():
+    """End-to-end interpret-mode regenerating kernel ≈ scan render on a small
+    Cornell with a box filter (FIS box jitter ≡ splat box weights, and the
+    per-(pixel,sample) streams are identical — near-bit-exact films).
 
-    Same sampler streams; FP association differs (MXU matmul MT), so a small
-    fraction of paths diverge through RR/selection — compare robustly.
+    The reference is computed with mega=False so it cannot route through the
+    kernel under test on any backend.
     """
     from optix_renderer_tpu.render.mega_render import render_mega
     from optix_renderer_tpu.render.render import render
     from optix_renderer_tpu.scene.presets import make_cornell_box
+    from optix_renderer_tpu.ops.pallas import pathk
 
     scene, config, _ = make_cornell_box(width=24, height=16, spp=1,
                                         integrator="path_mis")
-    config = dataclasses.replace(config, max_depth=3)
-    assert mega.mega_eligible(scene, config)
+    config = dataclasses.replace(config, max_depth=3, rfilter="box")
+    assert pathk.pathk_eligible(scene, config)
 
-    ref = render(scene, config, sample_count=2)
+    ref = render(scene, config, sample_count=2, mega=False, wavefront=False)
     got = render_mega(scene, config, sample_count=2, interpret=True)
 
     a = np.asarray(ref["composite"])
     b = np.asarray(got["composite"])
     # pixel-level: most pixels bit-comparable (identical streams), a few
-    # diverge via RR — median relative error must be tiny
+    # diverge via RR on FP association — median relative error must be tiny
     rel = np.abs(a - b) / (np.abs(a) + 1e-3)
     assert np.median(rel) < 1e-3, np.median(rel)
     assert np.mean(a) == pytest.approx(np.mean(b), rel=0.1)
     np.testing.assert_allclose(got["albedo"], ref["albedo"], atol=2e-3)
+    assert np.all(np.asarray(got["weights"]) == 2.0)
+
+
+@pytest.mark.heavy
+def test_pathk_gaussian_fis_statistically_matches_splat():
+    """Gaussian FIS film converges to the gaussian-splat film: means agree
+    within sampling noise at moderate spp (different estimators, same
+    expectation)."""
+    from optix_renderer_tpu.render.mega_render import render_mega
+    from optix_renderer_tpu.render.render import render
+    from optix_renderer_tpu.scene.presets import make_cornell_box
+
+    scene, config, _ = make_cornell_box(width=16, height=12, spp=1,
+                                        integrator="path_mis")
+    config = dataclasses.replace(config, max_depth=3, rfilter="gaussian")
+    ref = render(scene, config, sample_count=24, mega=False, wavefront=False)
+    got = render_mega(scene, config, sample_count=24, interpret=True)
+    a = np.asarray(ref["composite"])
+    b = np.asarray(got["composite"])
+    assert np.mean(a) == pytest.approx(np.mean(b), rel=0.05)
+    # per-pixel agreement within Monte-Carlo noise
+    assert np.mean(np.abs(a - b) / (np.abs(a) + 0.05)) < 0.35
