@@ -5,9 +5,10 @@ and writes the full multi-config table to BENCH_DETAILS.json:
 
 - cornell_path_mis:   800×600 brute-force Cornell (BASELINE.md headline;
                       reference CPU ≈ 1.6 Mpaths/s)
-- mesh100k_path_mis:  800×600 Cornell with ~100k-triangle tessellated spheres
-                      (LBVH traversal path)
-- mesh100k_primary:   primary-ray closest-hit rate through the LBVH (Mrays/s)
+- mesh100k_path_mis:  Cornell with ~100k-triangle tessellated spheres
+                      (Morton-cluster Pallas traversal, ops/pallas/cluster.py)
+- mesh100k_primary:   device-side primary-ray closest-hit rate through the
+                      cluster traversal (Mrays/s, chained-call marginal)
 - heterog_path_vol:   the reference flagship heterogeneous-media scene
                       (fluid_data_0050.vdb, path_vol_mats)
 
@@ -95,43 +96,53 @@ def bench_cornell():
 
 
 def bench_mesh100k():
-    from optix_renderer_tpu.scene.presets import make_tessellated_cornell
+    """100k-tri tessellated Cornell: path render + primary closest-hit.
 
-    # honest timing makes the gather-bound LBVH path expensive to measure at
-    # full frame; 400×300 @ 1 spp keeps the bench under a minute while still
-    # measuring the traversal (BENCH_DETAILS carries the config)
-    scene, config, _ = make_tessellated_cornell(width=400, height=300, spp=1,
-                                                integrator="path_mis")
-    config = dataclasses.replace(config, max_depth=8)
-    mpaths = _run(scene, config, spp=1)
-
-    # primary-ray closest-hit rate through the LBVH
+    The path number is honest single-render wall clock. The primary-ray rate
+    is the DEVICE-SIDE marginal: K chained traversals inside one jit, rate
+    from (t_K − t_1)/(K−1) — a single call through the axon tunnel carries a
+    fixed ~30 ms dispatch+fetch round trip that would otherwise swamp the
+    measurement (BASELINE.md round-5 note); the marginal is what a real
+    multi-bounce render pays per traversal.
+    """
     from functools import partial
 
     from optix_renderer_tpu.ops import camera as camera_ops
     from optix_renderer_tpu.ops.intersect import intersect
     from optix_renderer_tpu.render import sampler as smp
+    from optix_renderer_tpu.scene.presets import make_tessellated_cornell
+
+    scene, config, _ = make_tessellated_cornell(width=400, height=300, spp=1,
+                                                integrator="path_mis")
+    config = dataclasses.replace(config, max_depth=8)
+    mpaths = _run(scene, config, spp=4)
 
     n = 1 << 17
 
-    @partial(jax.jit, static_argnames=())
-    def primaries(scene, ids, salt):
+    @partial(jax.jit, static_argnames=("k",))
+    def primaries(scene, ids, salt, k):
         px = (ids % 800).astype(jnp.float32)
         py = (ids // 800).astype(jnp.float32)
         s = smp.make_sampler(ids.astype(jnp.uint32), salt.astype(jnp.uint32))
         s, j2 = smp.next_2d(s)
         pos = jnp.stack([px, py], -1) + j2
         ray, _ = camera_ops.sample_ray(scene.camera, 800, 600, pos, j2)
-        hit = intersect(scene.geometry, ray)
-        return hit.t.sum() + hit.prim_id.sum()
+        acc = jnp.float32(0)
+        for i in range(k):
+            r = ray._replace(mint=ray.mint + 1e-7 * i)
+            hit = intersect(scene.geometry, r)
+            acc += hit.t.sum() + hit.prim_id.sum()
+        return acc
 
     ids = jnp.arange(n, dtype=jnp.int32) % (800 * 600)
-    float(primaries(scene, ids, jnp.uint32(0)))  # compile + fetch
-    reps = 5
-    t0 = time.time()
-    outs = [primaries(scene, ids, jnp.uint32(i)) for i in range(reps)]
-    _ = [float(o) for o in outs]  # host fetches — block_until_ready is a no-op here
-    mrays = n * reps / (time.time() - t0) / 1e6
+    times = {}
+    for k in (1, 5):
+        float(primaries(scene, ids, jnp.uint32(0), k))  # compile + fetch
+        t0 = time.time()
+        for rep in range(3):
+            float(primaries(scene, ids, jnp.uint32(rep), k))  # host fetch
+        times[k] = (time.time() - t0) / 3
+    mrays = n * 4 / max(times[5] - times[1], 1e-9) / 1e6
     return mpaths, mrays, int(scene.geometry.tri_v0.shape[0])
 
 

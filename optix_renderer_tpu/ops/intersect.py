@@ -101,7 +101,41 @@ def intersect(geom: Geometry, ray: Ray, any_hit: bool = False) -> Hit:
     )
 
     n_tris = geom.tri_v0.shape[0]
-    if geom.bvh.node_min.shape[0] > 0:
+    if (
+        geom.clusters is not None
+        and jax.default_backend() == "tpu"
+    ):
+        # Morton-cluster Pallas traversal (ops/pallas/cluster.py) — the TPU
+        # replacement for per-ray BVH walks: block-granular AABB culling +
+        # per-cluster MXU sweeps with coefficients streamed HBM→VMEM.
+        from optix_renderer_tpu.ops.pallas.cluster import (
+            cluster_any_hit,
+            cluster_closest_hit,
+        )
+
+        if any_hit:
+            occ = cluster_any_hit(ray.o, ray.d, ray.mint, best.t, geom.clusters)
+            best = Hit(
+                t=jnp.where(occ, ray.mint, best.t),
+                prim_kind=jnp.where(occ, PRIM_TRI, best.prim_kind),
+                prim_id=jnp.zeros_like(best.prim_id),
+                u=best.u,
+                v=best.v,
+            )
+        else:
+            bt, bu, bv, idf = cluster_closest_hit(
+                ray.o, ray.d, ray.mint, best.t,
+                geom.tri_v0, geom.tri_e1, geom.tri_e2, geom.clusters,
+            )
+            bf = idf >= 0.0
+            best = Hit(
+                t=bt,
+                prim_kind=jnp.where(bf, PRIM_TRI, best.prim_kind),
+                prim_id=jnp.maximum(idf, 0.0).astype(jnp.int32),
+                u=bu,
+                v=bv,
+            )
+    elif geom.bvh.node_min.shape[0] > 0:
         # LBVH path for large meshes (ops/bvh.py) — static dispatch: the BVH
         # is part of the scene pytree, so jit traces exactly one branch.
         bt, bi, bu, bv, bf = bvh_mod.traverse(

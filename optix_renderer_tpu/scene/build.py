@@ -586,6 +586,7 @@ class _Builder:
         from optix_renderer_tpu.ops.pallas import mxu_intersect as mxu_mod
 
         tri_mxu = None
+        clusters = None
         if 0 < len(tri_v0) <= mxu_mod.MAX_MXU_TRIS:
             bvh = bvh_mod.empty_bvh()
             tri_mxu = jnp.asarray(
@@ -595,6 +596,13 @@ class _Builder:
             )
         elif len(tri_v0) > 0:
             bvh = bvh_mod.build_bvh(tri_v0, tri_v1, tri_v2)
+            # TPU traversal tables (ops/pallas/cluster.py): built alongside
+            # the LBVH — intersect() picks clusters on TPU, LBVH elsewhere
+            from optix_renderer_tpu.ops.pallas import cluster as cluster_mod
+
+            clusters = cluster_mod.build_clusters(
+                tri_v0, tri_v1 - tri_v0, tri_v2 - tri_v0
+            )
         else:
             bvh = bvh_mod.empty_bvh()
         if len(sph_center) >= bvh_mod.MIN_SPHS_FOR_BVH:
@@ -636,6 +644,7 @@ class _Builder:
             bvh=bvh,
             sph_bvh=sph_bvh,
             tri_mxu=tri_mxu,
+            clusters=clusters,
         )
 
         # shape offsets into the global triangle array (for emitter CDFs)

@@ -109,6 +109,11 @@ class Geometry(NamedTuple):
     # build_tri_coeffs, [4*Tpad,16]) for small/medium meshes; None disables
     # the MXU path (large scenes use the LBVH, CPU uses the jnp sweep).
     tri_mxu: jnp.ndarray | None = None
+    # Two-level Morton-cluster tables (ops/pallas/cluster.py) for large
+    # meshes on TPU — the hardware-native BVH replacement: per-cluster bf16
+    # MT coefficient blocks streamed HBM→VMEM, block-granular AABB culling.
+    # None on CPU-only builds / small scenes (they use LBVH / MXU brute).
+    clusters: object | None = None
 
 
 class Shapes(NamedTuple):
