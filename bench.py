@@ -146,6 +146,26 @@ def bench_mesh100k():
     return mpaths, mrays, int(scene.geometry.tri_v0.shape[0])
 
 
+def bench_sharded_1chip() -> float:
+    """Cornell through render_sharded on a 1-device mesh: quantifies the
+    shard_map + mesh overhead relative to the unsharded megakernel path
+    (the two-device-loop budget split of render.cpp:281,501, degenerate)."""
+    from optix_renderer_tpu.parallel.shard import make_mesh, render_sharded
+    from optix_renderer_tpu.scene.presets import make_cornell_box
+
+    scene, config, _ = make_cornell_box(width=800, height=600, spp=1,
+                                        integrator="path_mis")
+    config = dataclasses.replace(config, max_depth=16)
+    mesh = make_mesh(n_devices=1)
+    out = render_sharded(scene, config, mesh, sample_count=1)
+    _ = np.asarray(out["composite"]).ravel()[0]
+    spp = 64
+    t0 = time.time()
+    out = render_sharded(scene, config, mesh, sample_count=spp)
+    _ = np.asarray(out["composite"]).ravel()[0]
+    return float(config.width * config.height * spp / (time.time() - t0) / 1e6)
+
+
 def bench_heterog() -> float | None:
     xml = Path("/root/reference/scenes/project/volume/cbox_heterog.xml")
     if not xml.exists():
@@ -170,6 +190,9 @@ def main():
         "value": round(mesh_mpaths, 2), "unit": "Mpaths/s", "tris": n_tris,
     }
     results["mesh100k_primary"] = {"value": round(mesh_mrays, 1), "unit": "Mrays/s"}
+    results["cornell_sharded_1chip"] = {
+        "value": round(bench_sharded_1chip(), 2), "unit": "Mpaths/s", "spp": 64,
+    }
     het = bench_heterog()
     if het is not None:
         results["heterog_path_vol"] = {"value": round(het, 2), "unit": "Mpaths/s"}

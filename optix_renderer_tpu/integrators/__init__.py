@@ -14,7 +14,7 @@ Every integrator has the signature
 from optix_renderer_tpu.integrators import path as _path
 from optix_renderer_tpu.integrators import pmap as _pmap
 from optix_renderer_tpu.integrators import simple as _simple
-from optix_renderer_tpu.integrators import volumetric as _volumetric
+from optix_renderer_tpu.integrators import volpath as _volpath
 
 REGISTRY = {
     "photonmapper": _pmap.li_photonmapper,
@@ -28,8 +28,8 @@ REGISTRY = {
     "envmaptester": _simple.li_envmaptester,
     "path_mats": _path.li_path_mats,
     "path_mis": _path.li_path_mis,
-    "path_vol_mats": _volumetric.li_path_vol_mats,
-    "path_vol_mis": _volumetric.li_path_vol_mis,
+    "path_vol_mats": _volpath.li_path_vol_mats,
+    "path_vol_mis": _volpath.li_path_vol_mis,
 }
 
 

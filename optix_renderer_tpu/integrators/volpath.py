@@ -319,3 +319,13 @@ def li_vol(scene: SceneData, config: RenderConfig, ray: Ray, sampler, use_mis: b
     carry, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth))
     L, albedo, normal, sampler = carry[3], carry[9], carry[10], carry[11]
     return L, albedo, normal, sampler
+
+
+def li_path_vol_mats(scene, config, ray, sampler):
+    """Registry entry for `path_vol_mats` (src/integrators/path_vol_mats.cpp)."""
+    return li_vol(scene, config, ray, sampler, use_mis=False)
+
+
+def li_path_vol_mis(scene, config, ray, sampler):
+    """Registry entry for `path_vol_mis` (src/integrators/path_vol_mis.cpp)."""
+    return li_vol(scene, config, ray, sampler, use_mis=True)

@@ -135,9 +135,31 @@ def intersect(geom: Geometry, ray: Ray, any_hit: bool = False) -> Hit:
                 u=bu,
                 v=bv,
             )
+    elif (
+        geom.tri_mxu is not None
+        and jax.default_backend() == "tpu"
+        and n_tris > 0
+    ):
+        # MXU matmul brute force (ops/pallas/mxu_intersect.py): on TPU the
+        # systolic-array sweep beats the gather-bound LBVH walk up to
+        # MAX_MXU_TRIS even when an LBVH exists (built for the CPU path)
+        from optix_renderer_tpu.ops.pallas.mxu_intersect import mxu_closest_hit
+
+        bt, bu, bv, idf = mxu_closest_hit(
+            ray.o, ray.d, ray.mint, best.t,
+            geom.tri_v0, geom.tri_e1, geom.tri_e2, geom.tri_mxu,
+        )
+        bf = idf >= 0.0
+        best = Hit(
+            t=bt,
+            prim_kind=jnp.where(bf, PRIM_TRI, best.prim_kind),
+            prim_id=jnp.maximum(idf, 0.0).astype(jnp.int32),
+            u=bu,
+            v=bv,
+        )
     elif geom.bvh.node_min.shape[0] > 0:
-        # LBVH path for large meshes (ops/bvh.py) — static dispatch: the BVH
-        # is part of the scene pytree, so jit traces exactly one branch.
+        # LBVH path for large meshes on CPU (ops/bvh.py) — static dispatch:
+        # the BVH is part of the scene pytree, so jit traces one branch.
         bt, bi, bu, bv, bf = bvh_mod.traverse(
             geom.bvh,
             geom.tri_v0,
@@ -155,23 +177,12 @@ def intersect(geom: Geometry, ray: Ray, any_hit: bool = False) -> Hit:
             v=bv,
         )
     elif n_tris > 0:
-        if geom.tri_mxu is not None and jax.default_backend() == "tpu":
-            # MXU matmul brute force (ops/pallas/mxu_intersect.py): MT as a
-            # [16-feature] matmul on the systolic array — the fastest path
-            # on TPU for small/medium meshes (detach-and-replay under grad)
-            from optix_renderer_tpu.ops.pallas.mxu_intersect import mxu_closest_hit
-
-            bt, bu, bv, idf = mxu_closest_hit(
-                ray.o, ray.d, ray.mint, best.t,
-                geom.tri_v0, geom.tri_e1, geom.tri_e2, geom.tri_mxu,
-            )
-        else:
-            # Pallas Möller–Trumbore sweep on TPU (jnp sweep elsewhere); the
-            # min-reduction is fused — see ops/pallas/mt_kernel.
-            bt, bu, bv, idf = mt_closest_hit(
-                ray.o, ray.d, ray.mint, best.t,
-                geom.tri_v0, geom.tri_e1, geom.tri_e2,
-            )
+        # Pallas Möller–Trumbore sweep on TPU (jnp sweep elsewhere); the
+        # min-reduction is fused — see ops/pallas/mt_kernel.
+        bt, bu, bv, idf = mt_closest_hit(
+            ray.o, ray.d, ray.mint, best.t,
+            geom.tri_v0, geom.tri_e1, geom.tri_e2,
+        )
         bf = idf >= 0.0
         best = Hit(
             t=bt,

@@ -662,6 +662,12 @@ def _pathk_kernel(
         em_id = jnp.where(tri_valid & (~sphere_wins), em_id_tri, -1.0)
 
         # ---- 4. miss → constant envmap (MIS as li_path_mis)
+        # NOTE (documented backend divergence): the kernel's EMS strategy for
+        # constant envmaps is uniform-sphere, so this MATS-side MIS weight
+        # uses pdf_env = 1/4π/n_lights; the XLA path importance-samples the
+        # equirect image CDF and weights with its own pdf. Each estimator is
+        # internally consistent (both unbiased) — env-lit films agree in
+        # expectation but not per-seed across backends.
         has_env = env_ref[0, 3] > 0.0
         env_r, env_g, env_b = env_ref[0, 0], env_ref[0, 1], env_ref[0, 2]
         miss = active & (~valid)

@@ -25,11 +25,13 @@ from optix_renderer_tpu.render import film
 from optix_renderer_tpu.render import sampler as smp
 from optix_renderer_tpu.scene.data import RenderConfig, SceneData
 
-# Upper bound on rays in flight per jit call. Large chunks matter: at 2^16
-# lanes the per-dispatch latency dominates (116 Mpaths/s measured on v5e);
-# at 2^19 a full 800×600 frame is one dispatch per sample round and the scan
-# state stays resident (1332 Mpaths/s). Brute-force intersection temporaries
-# stay bounded by the tri-chunked sweep (ops/intersect.py _TRI_CHUNK).
+# Upper bound on rays in flight per jit call. Large chunks matter: every
+# host-synchronized dispatch through the axon tunnel carries a fixed
+# ~30-35 ms round trip (BASELINE.md round-5 cost model; the specific M/s
+# figures previously quoted here were retracted dispatch rates), so at 2^19
+# lanes a full 800×600 frame is one dispatch per sample round and the scan
+# state stays resident. Brute-force intersection temporaries stay bounded
+# by the tri-chunked sweep (ops/intersect.py _TRI_CHUNK).
 MAX_LANES = 1 << 19
 
 
@@ -185,10 +187,12 @@ def render(
     - SIGINT between chunks saves a final checkpoint (when a path is set) and
       returns the valid partial render with `out["spp_done"] < spp` — the
       interrupt-at-block-granularity contract.
-    - `wavefront`: path-regeneration mode (render/wavefront.py) — the default
-      for the surface path tracers when no checkpoint/resume is requested
-      (a mid-flight wavefront snapshot would lose in-flight paths). Films are
-      equal up to fp add order (tests/test_wavefront.py).
+    - `wavefront`: path-regeneration mode (render/wavefront.py) — opt-in on
+      this backend (the measured per-iteration film scatter makes it slower
+      than the scan path; see the dispatch note below). Films are equal up
+      to fp add order (tests/test_wavefront.py). A mid-flight wavefront
+      snapshot would lose in-flight paths, so it also excludes
+      checkpoint/resume.
     """
     from optix_renderer_tpu.render import wavefront as wf
 

@@ -380,5 +380,8 @@ def render_wavefront(
             break
 
     out = _layers_out(acc)
-    out["spp_done"] = spp
+    # honest progress: if the max_iters safety bound tripped with work still
+    # queued, report the spp actually completed rather than the request
+    issued = min(int(state.next_work), total)
+    out["spp_done"] = spp if (done_work and na == 0) else issued // n_pix
     return out

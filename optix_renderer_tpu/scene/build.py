@@ -86,7 +86,9 @@ class _Builder:
 
     def build_volume(self, node: SceneNode) -> int:
         """<volume type="volume"> child of a heterog medium
-        (NvdbVolume, NvdbVolume.h:14-86): loads .vdb/.nvdb/.npz/.npy."""
+        (NvdbVolume, NvdbVolume.h:14-86): loads .vdb/.npz/.npy (the
+        reference's .nvdb cache format is not read — scene/volume_io.py
+        raises with a conversion hint; no reference scene ships one)."""
         from optix_renderer_tpu.scene import volume_io
 
         fname = self.origin / node.props.get_string("filename")
@@ -588,12 +590,17 @@ class _Builder:
         tri_mxu = None
         clusters = None
         if 0 < len(tri_v0) <= mxu_mod.MAX_MXU_TRIS:
-            bvh = bvh_mod.empty_bvh()
             tri_mxu = jnp.asarray(
                 mxu_mod.build_tri_coeffs(
                     tri_v0, tri_v1 - tri_v0, tri_v2 - tri_v0
                 )
             )
+            # the MXU table serves the TPU; CPU runs keep the LBVH above the
+            # brute-force threshold (intersect() picks per backend)
+            if len(tri_v0) >= bvh_mod.MIN_TRIS_FOR_BVH:
+                bvh = bvh_mod.build_bvh(tri_v0, tri_v1, tri_v2)
+            else:
+                bvh = bvh_mod.empty_bvh()
         elif len(tri_v0) > 0:
             bvh = bvh_mod.build_bvh(tri_v0, tri_v1, tri_v2)
             # TPU traversal tables (ops/pallas/cluster.py): built alongside
@@ -834,6 +841,27 @@ class _Builder:
             vol_bbox_max = np.zeros((0, 3), np.float32)
             vol_majorant = np.zeros(0, np.float32)
 
+        def corner_stack(g):
+            """[V,D,H,W] → [V,(D+1)(H+1)(W+1),8]: per base voxel (in a
+            one-voxel zero-padded index space) the 8 cell-corner values, for
+            the fused single-gather trilinear lookup (scene/data.py Media)."""
+            V, D, H, W = g.shape
+            if V == 0:
+                return np.zeros((0, (D + 1) * (H + 1) * (W + 1), 8), np.float32)
+            P = np.zeros((V, D + 2, H + 2, W + 2), np.float32)
+            P[:, 1 : D + 1, 1 : H + 1, 1 : W + 1] = g
+            out = np.empty((V, (D + 1) * (H + 1) * (W + 1), 8), np.float32)
+            k = 0
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        out[..., k] = P[
+                            :, dz : dz + D + 1, dy : dy + H + 1,
+                            dx : dx + W + 1,
+                        ].reshape(V, -1)
+                        k += 1
+            return out
+
         media = Media(
             type=col(self.med_rows, "type", np.int32),
             sigma_a=col(self.med_rows, "sigma_a", width=3),
@@ -850,6 +878,8 @@ class _Builder:
             vol_bbox_min=_j(vol_bbox_min),
             vol_bbox_max=_j(vol_bbox_max),
             vol_majorant=_j(vol_majorant),
+            vol_corners=_j(corner_stack(vol_density)),
+            vol_tcorners=_j(corner_stack(vol_temperature)),
         )
 
         # ---- camera (perspective.cpp:10-96)

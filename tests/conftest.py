@@ -20,7 +20,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated on CPU; repeat
-# runs hit the cache and drop from ~20 min to ~2 min.
+# repeat runs hit the cache (measured: ~10 min cold, ~2-4 min warm).
 os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -32,7 +32,7 @@ import pytest  # noqa: E402
 def pytest_collection_modifyitems(config, items):
     """Everything not marked `heavy` is the fast tier: `pytest -m fast`
     (W5 — the full suite is compile-dominated on CPU; the fast tier keeps a
-    <2 min cold signal)."""
+    fast warm-cache signal; cold runs are compile-dominated)."""
     for item in items:
         if "heavy" not in item.keywords:
             item.add_marker(pytest.mark.fast)

@@ -78,8 +78,27 @@ def test_sharded_matches_single_device(cbox):
     single = render(scene, config, sample_count=2)["composite"]
     mesh = make_mesh()  # 8 virtual CPU devices → (4,2) tile×sample
     assert mesh.devices.size == 8
-    sharded = render_sharded(scene, config, mesh, sample_count=2)["composite"]
+    sharded = render_sharded(scene, config, mesh, sample_count=2,
+                             mega=False)["composite"]
     np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+@pytest.mark.heavy
+def test_sharded_mega_matches_unsharded_mega(cbox):
+    """The megakernel under shard_map (pixel-block partitioning) must
+    reproduce the single-device megakernel film exactly: per-lane streams
+    depend only on (pixel, sample), and blocks don't interact."""
+    from optix_renderer_tpu.render.mega_render import render_mega
+
+    scene, config = cbox
+    config = dataclasses.replace(config, rfilter="box")
+    mesh = make_mesh()
+    sharded = render_sharded(scene, config, mesh, sample_count=2)
+    single = render_mega(scene, config, sample_count=2, interpret=True)
+    np.testing.assert_allclose(
+        sharded["composite"], single["composite"], atol=1e-5
+    )
+    assert sharded["spp_done"] == 2
 
 
 def test_cbox_light_visible(cbox):
