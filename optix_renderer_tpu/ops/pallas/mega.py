@@ -15,9 +15,10 @@ are statistically identical and differ only in FP association.
 
 Scenes are eligible (see `mega_eligible`) when geometry is ≤MAX_MXU_TRIS
 triangles, materials are the four classic BSDFs with constant textures, and
-emitters are area/point (+ constant envmap). Everything else falls back to
-the general XLA wavefront path — the same graceful-degradation contract as
-the reference's GPU→CPU fallback (render.cpp:567-573).
+emitters are area/point/spot/directional (+ constant envmap). Everything
+else falls back to the general XLA wavefront path — the same graceful-
+degradation contract as the reference's GPU→CPU fallback
+(render.cpp:567-573).
 
 Why fused kernels at all: on this backend each XLA op costs ~0.3-1 ms at
 wavefront sizes and jit-boundary outputs stream at ~10-170 MB/s (measured —
@@ -60,8 +61,10 @@ BSDF_MICROFACET = 3
 
 # emitter type codes — must match scene/data.py EmitterType
 EM_POINT = 0
+EM_SPOT = 1
 EM_AREA = 2
 EM_ENVMAP = 3
+EM_DIRECTIONAL = 4
 
 # attribute-table columns (transposed [A, Tpad] on device)
 A_COLS = 40
@@ -76,9 +79,10 @@ ET_COLS = 24
 # 19 emitter_id, 20 cdf_lo (previous cdf, for sampleReuse), 21:24 pad
 
 # emitter-row columns (SMEM [E, ER_COLS])
-ER_COLS = 16
+ER_COLS = 24
 # 0 type, 1:4 radiance, 4:7 position, 7:10 power, 10 area_total,
-# 11 pick_pdf, 12 pick_cdf, 13:16 pad
+# 11 pick_pdf, 12 pick_cdf, 13:16 direction, 16 cos_falloff_start,
+# 17 cos_falloff_end, 18 angular_radius, 19:24 pad
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +223,7 @@ def mega_eligible(scene, config) -> bool:
     if et.size == 0:
         return False
     for e in et:
-        if e not in (EM_POINT, EM_AREA, EM_ENVMAP):
+        if e not in (EM_POINT, EM_SPOT, EM_AREA, EM_ENVMAP, EM_DIRECTIONAL):
             return False
     # mesh-area emitters only (sphere-area → XLA path)
     for e in range(len(et)):
@@ -307,6 +311,10 @@ def build_mega_tables(scene):
         rows[e, 10] = float(np.asarray(em.area)[e])
         rows[e, 11] = pick_pdf[e] if e < len(pick_pdf) else 0.0
         rows[e, 12] = pick_cdf[e] if e < len(pick_cdf) else 1.0
+        rows[e, 13:16] = np.asarray(em.direction)[e]
+        rows[e, 16] = float(np.asarray(em.cos_falloff_start)[e])
+        rows[e, 17] = float(np.asarray(em.cos_falloff_end)[e])
+        rows[e, 18] = float(np.asarray(em.angular_radius)[e])
 
     # ---- emissive-triangle table [ET_COLS, TEpad]
     et_rows = []
@@ -851,6 +859,36 @@ def nee_sample(em_ref, et_ref, env_ref, n_emitters, te_pad, p_hit, st,
     wi_pt = vscale(to_l, 1.0 / dpt)
     val_pt = (rad_r / d2pt, rad_g / d2pt, rad_b / d2pt)
 
+    # ---- spot (spotlight.cpp:54-74): same delta position as point, with
+    # the normalized-cone intensity power/2π and the delta⁴ falloff ramp
+    dx_e, dy_e, dz_e, c_start, c_end, ang_r = emitter_lookup(
+        em_ref, n_emitters, eid, [13, 14, 15, 16, 17, 18]
+    )
+    pw_r, pw_g, pw_b = emitter_lookup(em_ref, n_emitters, eid, [7, 8, 9])
+    cos_theta = -(wi_pt[0] * dx_e + wi_pt[1] * dy_e + wi_pt[2] * dz_e)
+    delta = (cos_theta - c_end) / jnp.maximum(c_start - c_end, 1e-12)
+    ramp = jnp.clip(delta, 0.0, 1.0) ** 4
+    falloff = jnp.where(cos_theta < c_end, 0.0,
+                        jnp.where(cos_theta >= c_start, 1.0, ramp))
+    i_norm = falloff / (
+        2.0 * PI * jnp.maximum(1.0 - 0.5 * (c_end + c_start), 1e-12) * d2pt
+    )
+    val_spot = (pw_r * i_norm, pw_g * i_norm, pw_b * i_norm)
+
+    # ---- directional (directionalLight.cpp:90-136): uniform sphere cap
+    # around −direction, angular radius ang_r
+    cos_cap = jnp.cos(ang_r)
+    dir_t = vnormalize((dx_e, dy_e, dz_e))
+    sD, tD = onb(dir_t)
+    zc = ua * (1.0 - cos_cap) + cos_cap
+    rc = safe_sqrt(1.0 - zc * zc)
+    thc = 2.0 * PI * ub
+    cap = (rc * jnp.cos(thc), rc * jnp.sin(thc), zc)
+    wi_dir = vneg(to_world(sD, tD, dir_t, cap))
+    pdf_dir = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_cap), 1e-12)
+    inv_pd = 1.0 / pdf_dir
+    val_dir = (rad_r * inv_pd, rad_g * inv_pd, rad_b * inv_pd)
+
     # ---- constant envmap: uniform sphere, pdf = 1/4π
     z = 2.0 * ua - 1.0
     r_ = safe_sqrt(1.0 - z * z)
@@ -863,20 +901,28 @@ def nee_sample(em_ref, et_ref, env_ref, n_emitters, te_pad, p_hit, st,
 
     is_area = etype == float(EM_AREA)
     is_pt = etype == float(EM_POINT)
+    is_spot = etype == float(EM_SPOT)
+    is_dir = etype == float(EM_DIRECTIONAL)
     is_env = etype == float(EM_ENVMAP)
+    is_delta = is_pt | is_spot
 
-    wi = vwhere(is_area, wi_area, vwhere(is_pt, wi_pt, wi_env))
+    wi = vwhere(is_area, wi_area,
+                vwhere(is_delta, wi_pt, vwhere(is_dir, wi_dir, wi_env)))
     value = tuple(
         jnp.where(is_area, val_area[c],
-                  jnp.where(is_pt, val_pt[c], val_env[c]))
+                  jnp.where(is_pt, val_pt[c],
+                            jnp.where(is_spot, val_spot[c],
+                                      jnp.where(is_dir, val_dir[c],
+                                                val_env[c]))))
         for c in range(3)
     )
     pdf_sa = jnp.where(is_area, jnp.where(ok_area, pdf_area, 0.0),
-                       jnp.where(is_pt, 1.0, 1.0 / fourpi))
-    shadow_dist = jnp.where(is_area | is_pt,
+                       jnp.where(is_delta, 1.0,
+                                 jnp.where(is_dir, pdf_dir, 1.0 / fourpi)))
+    shadow_dist = jnp.where(is_area | is_delta,
                             jnp.where(is_area, dist, dpt) - EPS,
                             jnp.float32(BIG))
     return st, {
         "wi": wi, "value": value, "pdf_sa": pdf_sa,
-        "shadow_dist": shadow_dist, "is_delta": is_pt, "is_env": is_env,
+        "shadow_dist": shadow_dist, "is_delta": is_delta, "is_env": is_env,
     }

@@ -460,6 +460,36 @@ def _nee_sample_smem(em_ref, et_ref, env_ref, n_emitters, te_cnt, p_hit, st):
     wi_pt = vscale(to_l, 1.0 / dpt)
     val_pt = (rad_r / d2pt, rad_g / d2pt, rad_b / d2pt)
 
+    # ---- spot (spotlight.cpp:54-74): delta position with the normalized
+    # cone intensity power/2π and delta⁴ falloff ramp
+    dx_e, dy_e, dz_e, c_start, c_end, ang_r = emitter_lookup(
+        em_ref, n_emitters, eid, [13, 14, 15, 16, 17, 18]
+    )
+    pw_r, pw_g, pw_b = emitter_lookup(em_ref, n_emitters, eid, [7, 8, 9])
+    cos_theta = -(wi_pt[0] * dx_e + wi_pt[1] * dy_e + wi_pt[2] * dz_e)
+    delta = (cos_theta - c_end) / jnp.maximum(c_start - c_end, 1e-12)
+    ramp = jnp.clip(delta, 0.0, 1.0) ** 4
+    falloff = jnp.where(cos_theta < c_end, 0.0,
+                        jnp.where(cos_theta >= c_start, 1.0, ramp))
+    i_norm = falloff / (
+        2.0 * PI * jnp.maximum(1.0 - 0.5 * (c_end + c_start), 1e-12) * d2pt
+    )
+    val_spot = (pw_r * i_norm, pw_g * i_norm, pw_b * i_norm)
+
+    # ---- directional (directionalLight.cpp:90-136): uniform sphere cap
+    # around −direction, angular radius ang_r
+    cos_cap = jnp.cos(ang_r)
+    dir_t = vnormalize((dx_e, dy_e, dz_e))
+    sD, tD = onb(dir_t)
+    zc = ua * (1.0 - cos_cap) + cos_cap
+    rc = safe_sqrt(1.0 - zc * zc)
+    thc = 2.0 * PI * ub
+    cap = (rc * jnp.cos(thc), rc * jnp.sin(thc), zc)
+    wi_dir = vneg(to_world(sD, tD, dir_t, cap))
+    pdf_dir = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_cap), 1e-12)
+    inv_pd = 1.0 / pdf_dir
+    val_dir = (rad_r * inv_pd, rad_g * inv_pd, rad_b * inv_pd)
+
     # ---- constant envmap: uniform sphere, pdf 1/4π
     z = 2.0 * ua - 1.0
     r_ = safe_sqrt(1.0 - z * z)
@@ -471,21 +501,30 @@ def _nee_sample_smem(em_ref, et_ref, env_ref, n_emitters, te_cnt, p_hit, st):
 
     is_area = etype == float(EM_AREA)
     is_pt = etype == float(EM_POINT)
+    is_spot = etype == float(mega.EM_SPOT)
+    is_dir = etype == float(mega.EM_DIRECTIONAL)
     is_env = etype == float(mega.EM_ENVMAP)
+    is_delta = is_pt | is_spot
 
-    wi = vwhere(is_area, wi_area, vwhere(is_pt, wi_pt, wi_env))
+    wi = vwhere(is_area, wi_area,
+                vwhere(is_delta, wi_pt, vwhere(is_dir, wi_dir, wi_env)))
     value = tuple(
-        jnp.where(is_area, val_area[c], jnp.where(is_pt, val_pt[c], val_env[c]))
+        jnp.where(is_area, val_area[c],
+                  jnp.where(is_pt, val_pt[c],
+                            jnp.where(is_spot, val_spot[c],
+                                      jnp.where(is_dir, val_dir[c],
+                                                val_env[c]))))
         for c in range(3)
     )
     pdf_sa = jnp.where(is_area, jnp.where(ok_area, pdf_area, 0.0),
-                       jnp.where(is_pt, 1.0, 1.0 / fourpi))
-    shadow_dist = jnp.where(is_area | is_pt,
+                       jnp.where(is_delta, 1.0,
+                                 jnp.where(is_dir, pdf_dir, 1.0 / fourpi)))
+    shadow_dist = jnp.where(is_area | is_delta,
                             jnp.where(is_area, dist, dpt) - EPS,
                             jnp.float32(BIG))
     return st, {
         "wi": wi, "value": value, "pdf_sa": pdf_sa,
-        "shadow_dist": shadow_dist, "is_delta": is_pt, "is_env": is_env,
+        "shadow_dist": shadow_dist, "is_delta": is_delta, "is_env": is_env,
     }
 
 

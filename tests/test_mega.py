@@ -230,3 +230,74 @@ def test_pathk_gaussian_fis_statistically_matches_splat():
     assert np.mean(a) == pytest.approx(np.mean(b), rel=0.05)
     # per-pixel agreement within Monte-Carlo noise
     assert np.mean(np.abs(a - b) / (np.abs(a) + 0.05)) < 0.35
+
+
+def _room_with_light(light_nodes, width=20, height=14):
+    """Diffuse box room + the given extra light node(s), built via the scene
+    API (same path as make_cornell_box)."""
+    import tempfile
+    from pathlib import Path
+
+    from optix_renderer_tpu.scene.build import build_scene
+    from optix_renderer_tpu.scene.parser import SceneNode
+    from optix_renderer_tpu.scene.presets import _quad_obj
+    from optix_renderer_tpu.core import transform as tf
+
+    tmp = Path(tempfile.mkdtemp(prefix="optix_tpu_scene_"))
+    root = SceneNode(tag="scene", type="scene", origin=str(tmp))
+    root.children.append(SceneNode(tag="integrator", type="path_mis"))
+    cam = SceneNode(tag="camera", type="perspective")
+    cam.props.set("width", width)
+    cam.props.set("height", height)
+    cam.props.set("fov", 40.0)
+    cam.props.set("toWorld", tf.lookat([0, 1.0, 4.3], [0, 1.0, 0], [0, 1, 0]))
+    root.children.append(cam)
+    quads = {
+        "floor": [(-1, 0, -1), (-1, 0, 1), (1, 0, 1), (1, 0, -1)],
+        "back": [(-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)],
+    }
+    for name, verts in quads.items():
+        fname = _quad_obj(tmp, name, verts)
+        sh = SceneNode(tag="shape", type="obj", origin=str(tmp))
+        sh.props.set("filename", fname)
+        sh.children.append(SceneNode(tag="bsdf", type="diffuse"))
+        root.children.append(sh)
+    for n in light_nodes:
+        root.children.append(n)
+    return build_scene(root)
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("kind", ["spot", "directional"])
+def test_pathk_spot_directional_match_xla(kind):
+    """Spot/directional NEE in the kernel ≡ the XLA emitter path (box filter
+    → identical streams → near-bit-exact films)."""
+    from optix_renderer_tpu.render.mega_render import render_mega
+    from optix_renderer_tpu.render.render import render
+    from optix_renderer_tpu.scene.parser import SceneNode
+    from optix_renderer_tpu.ops.pallas import pathk
+
+    em = SceneNode(tag="emitter", type=kind)
+    if kind == "spot":
+        em.props.set("position", np.array([0.0, 1.8, 1.0], np.float32))
+        em.props.set("direction", np.array([0.0, -1.0, -0.5], np.float32))
+        em.props.set("power", np.array([60.0, 50.0, 40.0], np.float32))
+        em.props.set("falloffstart", 15.0)
+        em.props.set("totalwidth", 30.0)
+    else:
+        em.props.set("direction", np.array([-0.3, -1.0, -0.4], np.float32))
+        em.props.set("radiance", np.array([40.0, 36.0, 30.0], np.float32))
+        em.props.set("angle", 5.0)
+
+    scene, config, _ = _room_with_light([em])
+    config = dataclasses.replace(config, max_depth=3, rfilter="box")
+    assert pathk.pathk_eligible(scene, config), "kernel must cover this scene"
+
+    ref = render(scene, config, sample_count=4, mega=False, wavefront=False)
+    got = render_mega(scene, config, sample_count=4, interpret=True)
+    a = np.asarray(ref["composite"])
+    b = np.asarray(got["composite"])
+    assert a.max() > 0.005, "light must illuminate the room"
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert np.mean(a) == pytest.approx(np.mean(b), rel=0.1)
