@@ -49,8 +49,9 @@ def _run(scene, config, spp: int) -> float:
     """
     from optix_renderer_tpu.render.render import render
 
-    # warmup / compile (1 spp), with a forced fetch
-    out = render(scene, config, sample_count=1)
+    # warmup / compile with a forced fetch — one full dispatch GROUP so the
+    # spp-group kernel variant used by the timed render is compiled/cached
+    out = render(scene, config, sample_count=min(spp, 16))
     _ = np.asarray(out["composite"]).ravel()[0]
 
     t0 = time.time()
@@ -157,9 +158,11 @@ def bench_sharded_1chip() -> float:
                                         integrator="path_mis")
     config = dataclasses.replace(config, max_depth=16)
     mesh = make_mesh(n_devices=1)
-    out = render_sharded(scene, config, mesh, sample_count=1)
-    _ = np.asarray(out["composite"]).ravel()[0]
     spp = 64
+    # first call compiles (the shard_map-wrapped kernel misses the
+    # persistent cache); time the warm repeat
+    out = render_sharded(scene, config, mesh, sample_count=spp)
+    _ = np.asarray(out["composite"]).ravel()[0]
     t0 = time.time()
     out = render_sharded(scene, config, mesh, sample_count=spp)
     _ = np.asarray(out["composite"]).ravel()[0]

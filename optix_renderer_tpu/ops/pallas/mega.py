@@ -14,8 +14,9 @@ the same per-(pixel,sample) streams as the XLA path — so the two backends
 are statistically identical and differ only in FP association.
 
 Scenes are eligible (see `mega_eligible`) when geometry is ≤MAX_MXU_TRIS
-triangles, materials are the four classic BSDFs with constant textures, and
-emitters are area/point/spot/directional (+ constant envmap). Everything
+triangles, materials are the five BSDFs (diffuse/mirror/dielectric/
+microfacet/disney) with constant textures, and emitters are
+area/point/spot/directional (+ constant envmap). Everything
 else falls back to the general XLA wavefront path — the same graceful-
 degradation contract as the reference's GPU→CPU fallback
 (render.cpp:567-573).
@@ -58,6 +59,7 @@ BSDF_DIFFUSE = 0
 BSDF_MIRROR = 1
 BSDF_DIELECTRIC = 2
 BSDF_MICROFACET = 3
+BSDF_DISNEY = 4
 
 # emitter type codes — must match scene/data.py EmitterType
 EM_POINT = 0
@@ -67,11 +69,12 @@ EM_ENVMAP = 3
 EM_DIRECTIONAL = 4
 
 # attribute-table columns (transposed [A, Tpad] on device)
-A_COLS = 40
+A_COLS = 56
 # 0:3 n_g (unit), 3:6 n0, 6:9 dn1, 9:12 dn2, 12:14 uv0, 14:16 duv1,
 # 16:18 duv2, 18 bsdf_type, 19 alpha, 20 int_ior, 21 ext_ior, 22 ks,
 # 23:26 kd, 26:29 albedo, 29 emitter_id, 30:33 v0, 33:36 e1, 36:39 e2,
-# 39 pad — v0/e1/e2 feed the exact per-winner Möller–Trumbore refine
+# 39 pad, 40:50 disney params (disney.cpp:32-41 order), 50:56 pad —
+# v0/e1/e2 feed the exact per-winner Möller–Trumbore refine
 
 # emissive-triangle table columns (transposed [ET_COLS, TEpad])
 ET_COLS = 24
@@ -211,8 +214,8 @@ def mega_eligible(scene, config) -> bool:
     if _np.any(_np.asarray(sh.normal_tex) >= 0):
         return False
     bt = _np.asarray(scene.bsdfs.type)
-    if bt.size and bt.max() > BSDF_MICROFACET:
-        return False  # disney → XLA path
+    if bt.size and bt.max() > BSDF_DISNEY:
+        return False
     # constant textures only (albedo of diffuse)
     tex_t = _np.asarray(scene.textures.type)
     used = _np.asarray(scene.bsdfs.albedo_tex)
@@ -295,6 +298,7 @@ def build_mega_tables(scene):
     attr[:t_cnt, 30:33] = v0
     attr[:t_cnt, 33:36] = e1
     attr[:t_cnt, 36:39] = e2
+    attr[:t_cnt, 40:50] = np.asarray(scene.bsdfs.disney)[bsdf_id]
     attr_t = attr.T.copy()  # [A_COLS, Tpad]
 
     # ---- emitter rows [E, ER_COLS]
@@ -351,9 +355,11 @@ def build_mega_tables(scene):
         et_tab[:te] = np.stack(et_rows)
     et_t = et_tab.T.copy()  # [ET_COLS, TEpad]
 
-    # ---- sphere rows [Ns, 16] (SMEM select-loop; non-emissive by eligibility)
+    # ---- sphere rows [Ns, 32] (SMEM select-loop; non-emissive by
+    # eligibility): 0:3 center, 3 radius, 4 btype, 5 alpha, 6:8 iors, 8 ks,
+    # 9:12 kd, 12:15 albedo, 16:26 disney params
     ns_ = int(np.asarray(g.sph_center).shape[0])
-    sph = np.zeros((max(ns_, 1), 16), np.float32)
+    sph = np.zeros((max(ns_, 1), 32), np.float32)
     if ns_:
         sc = np.asarray(g.sph_center, np.float32)
         sr = np.asarray(g.sph_radius, np.float32)
@@ -371,6 +377,7 @@ def build_mega_tables(scene):
         sph[:ns_, 12:15] = np.where(
             (s_alb >= 0)[:, None], tex_val[np.maximum(s_alb, 0)], 1.0
         )
+        sph[:ns_, 16:26] = np.asarray(scene.bsdfs.disney)[s_bsdf]
     # constant-envmap radiance (0 if none): 1×1 grids hold the radiance
     # directly (ops/envmap.py build path)
     env_rad = np.zeros(4, np.float32)
@@ -532,6 +539,14 @@ def sphere_params(sph_ref, sid, P, ns_tri, p_hit):
                 v = jnp.where(sid == float(j), sph_ref[j, base + c], v)
             comps[c] = v
         out[k] = tuple(comps)
+    if "disney" in P:
+        comps = list(P["disney"])
+        for c in range(10):
+            v = comps[c]
+            for j in range(n_rows):
+                v = jnp.where(sid == float(j), sph_ref[j, 16 + c], v)
+            comps[c] = v
+        out["disney"] = tuple(comps)
     # outward normal (p-c)/r (sphere.cpp:87-124)
     nx, ny, nz = ns_tri
     for j in range(n_rows):
@@ -636,6 +651,97 @@ def _microfacet_pdf_c(ks, alpha, wi, wo):
     return jnp.where(wo[2] > 0.0, part1 + part2, 0.0)
 
 
+def _schlick_fresnel_c(a):
+    m = jnp.clip(1.0 - a, 0.0, 1.0)
+    m2 = m * m
+    return m2 * m2 * m
+
+
+def _smith_g_ggx_aniso_c(ndotv, vdotx, vdoty, ax, ay):
+    return 1.0 / jnp.maximum(
+        ndotv + jnp.sqrt(vdotx * ax * vdotx * ax + vdoty * ay * vdoty * ay
+                         + ndotv * ndotv),
+        1e-8,
+    )
+
+
+def _smith_g_ggx_c(ndotv, alpha_g):
+    a = alpha_g * alpha_g
+    b = ndotv * ndotv
+    return 1.0 / jnp.maximum(ndotv + jnp.sqrt(a + b - a * b), 1e-8)
+
+
+def disney_eval_c(P, wi, wo):
+    """Component port of ops/disney.disney_eval (disney.cpp:111-176); base
+    color = P["albedo"], params = P["disney"] (10-tuple of [S,L])."""
+    (metallic, subsurface, specular, roughness, specular_tint, anisotropic,
+     sheen, sheen_tint, clearcoat, clearcoat_gloss) = P["disney"]
+    Lv, Vv = wi, wo
+    ndotl = Lv[2]
+    ndotv = Vv[2]
+    valid = (ndotl >= EPS) & (ndotv >= EPS)
+    H = vnormalize(vadd(Lv, Vv))
+    ndoth = H[2]
+    ldoth = vdot(Lv, H)
+
+    cdlin = tuple(jnp.power(jnp.maximum(P["albedo"][c], 1e-6), 2.2)
+                  for c in range(3))
+    cdlum = 0.3 * cdlin[0] + 0.6 * cdlin[1] + 0.1 * cdlin[2]
+    inv_lum = 1.0 / jnp.maximum(cdlum, 1e-12)
+    ctint = tuple(jnp.where(cdlum > 0.0, cdlin[c] * inv_lum, 1.0)
+                  for c in range(3))
+    cspec0 = tuple(
+        (specular * 0.08 * (1.0 + (ctint[c] - 1.0) * specular_tint))
+        * (1.0 - metallic) + cdlin[c] * metallic
+        for c in range(3)
+    )
+    csheen = tuple(1.0 + (ctint[c] - 1.0) * sheen_tint for c in range(3))
+
+    fl = _schlick_fresnel_c(ndotl)
+    fv = _schlick_fresnel_c(ndotv)
+    fd90 = 0.5 + 2.0 * ldoth * ldoth * roughness
+    fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    fss90 = ldoth * ldoth * roughness
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    ss = 1.25 * (fss * (1.0 / jnp.maximum(ndotl + ndotv, 1e-8) - 0.5) + 0.5)
+
+    aspect = jnp.sqrt(1.0 - anisotropic * 0.9)
+    ax = jnp.maximum(0.001, roughness * roughness / aspect)
+    ay = jnp.maximum(0.001, roughness * roughness * aspect)
+    denom = PI * ax * ay * (
+        (H[0] / ax) ** 2 + (H[1] / ay) ** 2 + ndoth * ndoth
+    ) ** 2
+    ds = 1.0 / jnp.maximum(denom, 1e-12)
+    fh = _schlick_fresnel_c(ldoth)
+    fs = tuple(cspec0[c] + (1.0 - cspec0[c]) * fh for c in range(3))
+    gs = _smith_g_ggx_aniso_c(ndotl, Lv[0], Lv[1], ax, ay) *         _smith_g_ggx_aniso_c(ndotv, Vv[0], Vv[1], ax, ay)
+    fsheen = tuple(fh * sheen * csheen[c] for c in range(3))
+
+    # GTR1 clearcoat lobe (disney.cpp: mix(0.1, 0.001, gloss))
+    a_cc = jnp.clip(0.1 + (0.001 - 0.1) * clearcoat_gloss, 1e-4, None)
+    a2 = a_cc * a_cc
+    t_cc = 1.0 + (a2 - 1.0) * ndoth * ndoth
+    dr = jnp.where(
+        a_cc >= 1.0, INV_PI,
+        (a2 - 1.0) / (PI * jnp.log(a2) * t_cc),
+    )
+    fr = 0.04 + 0.96 * fh
+    gr = _smith_g_ggx_c(ndotl, 0.25) * _smith_g_ggx_c(ndotv, 0.25)
+
+    diff_mix = fd + (ss - fd) * subsurface
+    final = tuple(
+        (INV_PI * diff_mix * cdlin[c] + fsheen[c]) * (1.0 - metallic)
+        + gs * ds * fs[c]
+        + 0.25 * clearcoat * gr * fr * dr
+        for c in range(3)
+    )
+    lum = (final[0] * 0.212671 + final[1] * 0.715160 + final[2] * 0.072169)
+    inv_l = 1.0 / jnp.maximum(lum, 1e-12)
+    final = tuple(jnp.where(lum > 1.0, final[c] * inv_l, final[c])
+                  for c in range(3))
+    return tuple(jnp.where(valid, final[c], 0.0) for c in range(3))
+
+
 def bsdf_eval_c(P, wi, wo):
     """f(wi,wo) rgb under solid angle; P = per-lane param dict."""
     diff_ok = (wi[2] > 0.0) & (wo[2] > 0.0)
@@ -647,8 +753,12 @@ def bsdf_eval_c(P, wi, wo):
     )
     is_diff = P["btype"] == BSDF_DIFFUSE
     is_mf = P["btype"] == BSDF_MICROFACET
+    is_dis = P["btype"] == BSDF_DISNEY
+    f_dis = disney_eval_c(P, wi, wo) if "disney" in P else (0.0, 0.0, 0.0)
     return tuple(
-        jnp.where(is_diff, f_diff[c], jnp.where(is_mf, f_mf[c], 0.0))
+        jnp.where(is_diff, f_diff[c],
+                  jnp.where(is_mf, f_mf[c],
+                            jnp.where(is_dis, f_dis[c], 0.0)))
         for c in range(3)
     )
 
@@ -657,8 +767,9 @@ def bsdf_pdf_c(P, wi, wo):
     diff_ok = (wi[2] > 0.0) & (wo[2] > 0.0)
     p_diff = jnp.where(diff_ok, INV_PI * wo[2], 0.0)
     p_mf = _microfacet_pdf_c(P["ks"], P["alpha"], wi, wo)
+    is_cos = (P["btype"] == BSDF_DIFFUSE) | (P["btype"] == BSDF_DISNEY)
     return jnp.where(
-        P["btype"] == BSDF_DIFFUSE,
+        is_cos,
         p_diff,
         jnp.where(P["btype"] == BSDF_MICROFACET, p_mf, 0.0),
     )
@@ -719,12 +830,24 @@ def bsdf_sample_c(P, wi, u1, u2):
     is_mirror = P["btype"] == BSDF_MIRROR
     is_diel = P["btype"] == BSDF_DIELECTRIC
     is_mf = P["btype"] == BSDF_MICROFACET
+    is_dis = P["btype"] == BSDF_DISNEY
+
+    # disney (disney.cpp:181-199): cosine sample, weight f·π (the estimator
+    # f·cosθ/pdf with pdf = cosθ/π — see ops/disney.py docstring note)
+    if "disney" in P:
+        f_dis = disney_eval_c(P, wi, wo_diff)
+        p_dis = INV_PI * jnp.maximum(wo_diff[2], 0.0)
+        dis_ok = (cos_i > 0.0) & (p_dis >= EPS)
+        w_dis = tuple(jnp.where(dis_ok, f_dis[c] * PI, 0.0) for c in range(3))
+    else:
+        w_dis = w_diff
 
     wo = vwhere(is_mirror, wo_mirror, vwhere(is_diel, wo_diel,
                 vwhere(is_mf, wo_mf, wo_diff)))
     weight = tuple(
         jnp.where(is_mirror, w_mirror[c], jnp.where(is_diel, w_diel[c],
-                  jnp.where(is_mf, w_mf[c], w_diff[c])))
+                  jnp.where(is_mf, w_mf[c],
+                            jnp.where(is_dis, w_dis[c], w_diff[c]))))
         for c in range(3)
     )
     is_discrete = is_mirror | is_diel
@@ -732,7 +855,7 @@ def bsdf_sample_c(P, wi, u1, u2):
         is_mf,
         p_mf,
         jnp.where(
-            (P["btype"] == BSDF_DIFFUSE) & (cos_i > 0.0),
+            ((P["btype"] == BSDF_DIFFUSE) | is_dis) & (cos_i > 0.0),
             INV_PI * jnp.maximum(wo[2], 0.0),
             0.0,
         ),

@@ -86,10 +86,10 @@ BLOCK = S * L  # 4096 pixels per grid step
 VPU_MAX_TRIS = 64  # above this, intersection moves to the MXU matmul form
 
 # triangle SMEM row columns (VPU path)
-TR_COLS = 40
+TR_COLS = 48
 # 0:3 v0, 3:6 e1, 6:9 e2, 9:12 n_g(unit), 12:15 n0, 15:18 dn1, 18:21 dn2,
 # 21 btype, 22 alpha, 23 int_ior, 24 ext_ior, 25 ks, 26:29 kd, 29:32 albedo,
-# 32 em_id, 33:40 pad
+# 32 em_id, 33:43 disney params (disney.cpp:32-41 order), 43:48 pad
 
 # float scalar pack (SMEM [1, 40])
 # 0:16 sample_to_camera (row-major), 16:32 camera to_world (row-major),
@@ -215,6 +215,7 @@ def build_pathk_tables(scene, config):
             (alb_tex >= 0)[:, None], tex_val[_np.maximum(alb_tex, 0)], 1.0
         )
         tri[:t_cnt, 32] = em_id.astype(_np.float32)
+        tri[:t_cnt, 33:43] = _np.asarray(scene.bsdfs.disney)[bsdf_id]
         tables["tri"] = jnp.asarray(tri)
         tables["et_smem"] = jnp.asarray(et_np[: max(te_cnt, 1)])
 
@@ -322,6 +323,8 @@ _ATTR_COLS = {
     "kdr": 26, "kdg": 27, "kdb": 28,
     "alr": 29, "alg": 30, "alb": 31,
     "em": 32,
+    "ds0": 33, "ds1": 34, "ds2": 35, "ds3": 36, "ds4": 37,
+    "ds5": 38, "ds6": 39, "ds7": 40, "ds8": 41, "ds9": 42,
 }
 
 
@@ -652,6 +655,7 @@ def _pathk_kernel(
                 "ext_ior": at[21], "ks": at[22],
                 "kd": (at[23], at[24], at[25]),
                 "albedo": (at[26], at[27], at[28]),
+                "disney": tuple(at[40 + k] for k in range(10)),
             }
             em_id_tri = at[29]
             occ_tri = mega.occluded_mxu(
@@ -671,6 +675,7 @@ def _pathk_kernel(
                 "ks": A["ks"],
                 "kd": (A["kdr"], A["kdg"], A["kdb"]),
                 "albedo": (A["alr"], A["alg"], A["alb"]),
+                "disney": tuple(A[f"ds{k}"] for k in range(10)),
             }
             em_id_tri = A["em"]
             # sphere any-hit for the shadow segment

@@ -226,8 +226,11 @@ class Media(NamedTuple):
     # (D+1)(H+1)(W+1)), so a lookup is ONE [N,8]-row gather + an in-lane dot
     # — measured 7x faster than 8 scalar gathers on the v5e (the hot op of
     # delta/ratio tracking, heterogmedium.cpp:105-174 analog)
-    vol_corners: jnp.ndarray = jnp.zeros((0, 8, 8))  # [V, (D+1)(H+1)(W+1), 8]
-    vol_tcorners: jnp.ndarray = jnp.zeros((0, 8, 8))  # [V, ..., 8] temperature
+    # None defaults (NOT empty jnp arrays: a module-level array literal would
+    # initialize the JAX backend at import time, breaking multi-process
+    # workers that must configure device counts first)
+    vol_corners: jnp.ndarray | None = None  # [V, (D+1)(H+1)(W+1), 8]
+    vol_tcorners: jnp.ndarray | None = None  # [V, ..., 8] temperature
 
 
 class Camera(NamedTuple):
