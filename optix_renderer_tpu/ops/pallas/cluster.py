@@ -14,15 +14,18 @@ MXU + DMA engines:
   multi-pass f32 MXU contraction (precision=HIGHEST) selects winners to ~1e-5 —
   the winner is then re-verified exactly per lane (detach-and-replay,
   ops/bvh.py policy);
-* 16 consecutive clusters form a **supercluster** with its own AABB (table
-  reserved for a hierarchical cull refinement);
-* per ray-block iteration the kernel computes hierarchical slab-test flags
-  entirely vectorized ([8,256]-shaped VPU ops), DMAs the flag table to SMEM,
-  and then sweeps ONLY flagged clusters: a `fori_loop` + `lax.cond` whose
-  taken branch DMAs that cluster's 32 KB coefficient block HBM→VMEM and runs
-  the [CS,16]@[16,W] closest-hit matmul. Culling is at ray-BLOCK granularity
-  — coherence does the work, exactly like the reference's packet/SIMD
-  traversals, but with 2048-wide packets.
+* culling runs OUTSIDE the kernel: per ray block, a conservative interval-
+  arithmetic slab test of every cluster AABB against the block's ray-bundle
+  summary builds a worklist in a few fused XLA ops, fed to the kernel via
+  scalar prefetch (per-cluster control flow on the in-kernel scalar core
+  costs ~1 µs/cluster — measured — so it must not run per block there);
+* the kernel sweeps only worklisted clusters: each visit re-tests the exact
+  per-lane slab against the RUNNING best-t (cheap skip), then DMAs that
+  cluster's coefficient block HBM→VMEM and runs the [CS,16]ᵀ@[16,W]
+  closest-hit contraction. Culling is at ray-BLOCK granularity — coherence
+  does the work, like the reference's packet traversals but 2048 wide, and
+  `cluster_closest_hit(sort=True)` restores coherence for incoherent
+  wavefronts by (octant, origin-Morton-cell) sorting.
 
 Scale: coefficient tables live in HBM and stream on demand, so scene size is
 bounded by HBM, not VMEM (a 1M-tri scene is ~256 MB of coefficients).
@@ -40,7 +43,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CS = 256  # triangles per cluster
-SUPER = 16  # clusters per supercluster
 W = 2048  # rays per kernel block (8 sublanes x 256 lanes per component)
 BIG = 3.4e38
 MAX_CLUSTERS = 4096  # SMEM box-table bound (~1M tris)
@@ -53,7 +55,6 @@ class Clusters(NamedTuple):
     ids: jnp.ndarray  # [C, 1, CS] f32 global tri id (-1 on padding)
     boxes: jnp.ndarray  # [C, 16] f32: lo 0:3, hi 3:6, centroid 6:9, pad
     boxes_t: jnp.ndarray  # [8, Cpad] f32: rows 0:3 lo, 3:6 hi (lane-major)
-    sboxes: jnp.ndarray  # [NS, 8] f32: super lo 0:3, hi 3:6, pad
 
 
 def build_clusters(v0, e1, e2) -> Clusters:
@@ -121,18 +122,6 @@ def build_clusters(v0, e1, e2) -> Clusters:
     boxes[:, 3:6] = bhi
     boxes[:, 6:9] = centroid
 
-    NS = (C + SUPER - 1) // SUPER
-    sb = np.zeros((NS, 8), np.float32)
-    for s in range(NS):
-        ch = slice(s * SUPER, min((s + 1) * SUPER, C))
-        ne = ~empty[ch]
-        if ne.any():
-            sb[s, 0:3] = blo[ch][ne].min(0)
-            sb[s, 3:6] = bhi[ch][ne].max(0)
-        else:
-            sb[s, 0:3] = 1.0
-            sb[s, 3:6] = -1.0
-
     # layouts chosen for aligned HBM→VMEM DMA slices (lane dim multiple of
     # 128): coefficients transposed to [16, 4*CS] and split into bf16 hi/lo
     # halves (rows 0:16 / 16:32) for the in-kernel 3-pass contractions;
@@ -152,7 +141,6 @@ def build_clusters(v0, e1, e2) -> Clusters:
         ids=jnp.asarray(idx.reshape(C, 1, CS).astype(np.float32)),
         boxes=jnp.asarray(boxes),
         boxes_t=jnp.asarray(bt),
-        sboxes=jnp.asarray(sb),
     )
 
 
